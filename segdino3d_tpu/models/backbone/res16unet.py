@@ -1,0 +1,207 @@
+"""Res16UNet34C sparse U-Net backbone (TPU-native).
+
+Re-implementation of the Mask3D-style Minkowski Res16UNet used for the
+ScanNet200 config (reference ``/root/reference/segdino3d/models/backbone/
+minkunet.py:257-694``): stem k5 conv, 4 down stages (k2 s2) with BasicBlock
+stacks LAYERS=(2,3,4,6,2,2,2,2), 4 transpose-conv up stages with skip
+concatenation, PLANES=(32,64,128,256,256,128,96,96), 96-ch output.
+
+The CUDA sparse convs become gather-GEMM kernels over a static coordinate
+pyramid (``segdino3d_tpu.ops.sparse_conv``); all tensors are padded with
+validity masks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from segdino3d_tpu.ops import sparse_conv as SC
+from segdino3d_tpu.ops.voxelize import VoxelGrid
+from segdino3d_tpu.models.layers import MaskedBatchNorm
+from segdino3d_tpu.registry import BACKBONES
+
+
+class UNetPlan(NamedTuple):
+    """Coordinate pyramid + neighbor tables for one U-Net forward."""
+    levels: Tuple[SC.Level, ...]
+    subm_nbr: Tuple[jnp.ndarray, ...]   # per level: (V_l, 27)
+    stem_nbr: Optional[jnp.ndarray]     # level 0: (V_0, k^3) for the stem conv
+
+
+def build_unet_plan(grid: VoxelGrid, num_levels: int = 5,
+                    stem_kernel: int = 5,
+                    level_caps: Optional[Sequence[int]] = None) -> UNetPlan:
+    plan = SC.build_conv_plan(grid, num_levels, level_caps)
+    k3 = SC.kernel_offsets(3)
+    subm = tuple(
+        SC._neighbor_table(l.key_hi, l.key_lo, l.coords, l.valid, k3)
+        for l in plan.levels)
+    stem = None
+    if stem_kernel != 3:
+        k5 = SC.kernel_offsets(stem_kernel)
+        l0 = plan.levels[0]
+        stem = SC._neighbor_table(l0.key_hi, l0.key_lo, l0.coords, l0.valid, k5)
+    else:
+        stem = subm[0]
+    return UNetPlan(levels=plan.levels, subm_nbr=subm, stem_nbr=stem)
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv (param holder around ops.sparse_conv.subm_conv)."""
+    out_channels: int
+    kernel_volume: int = 27
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid):
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (self.kernel_volume, feats.shape[-1], self.out_channels))
+        return SC.subm_conv(feats, nbr, w.astype(feats.dtype), valid)
+
+
+class DownConv(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, fine, coarse):
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (8, feats.shape[-1], self.out_channels))
+        return SC.down_conv(feats, fine, coarse, w.astype(feats.dtype))
+
+
+class UpConv(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, fine):
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (8, feats.shape[-1], self.out_channels))
+        return SC.up_conv(feats, fine, w.astype(feats.dtype))
+
+
+class BasicBlock(nn.Module):
+    """Minkowski BasicBlock (reference ``minkunet.py:195-250``)."""
+    planes: int
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        residual = x
+        out = SubMConv(self.planes, name="conv1")(x, nbr, valid)
+        out = MaskedBatchNorm(momentum=self.bn_momentum, name="norm1")(
+            out, valid, use_running_average=not train)
+        out = nn.relu(out)
+        out = SubMConv(self.planes, name="conv2")(out, nbr, valid)
+        out = MaskedBatchNorm(momentum=self.bn_momentum, name="norm2")(
+            out, valid, use_running_average=not train)
+        if x.shape[-1] != self.planes:
+            residual = nn.Dense(self.planes, use_bias=False,
+                                name="downsample_conv")(x)
+            residual = MaskedBatchNorm(momentum=self.bn_momentum,
+                                       name="downsample_norm")(
+                residual, valid, use_running_average=not train)
+        out = out + residual
+        return nn.relu(out)
+
+
+@BACKBONES.register_module()
+class Res16UNet34C(nn.Module):
+    """See module docstring. ``config`` mirrors the reference dict
+    (``configs/models/base_3d.py:10-13``): bn_momentum, conv1_kernel_size."""
+    in_channels: int = 259
+    out_channels: int = 96
+    config: dict = None
+    voxel_size: float = 0.02
+    mode_fuse_2d_feat: str = "early_fusion"
+    add_positional_embedding: bool = True
+
+    PLANES = (32, 64, 128, 256, 256, 128, 96, 96)
+    LAYERS = (2, 3, 4, 6, 2, 2, 2, 2)
+    INIT_DIM = 32
+
+    def _blocks(self, x, n_blocks, planes, nbr, valid, train, name):
+        for i in range(n_blocks):
+            x = BasicBlock(planes, bn_momentum=self.bn_mom,
+                           name=f"{name}_{i}")(x, nbr, valid, train)
+        return x
+
+    @property
+    def bn_mom(self):
+        return (self.config or {}).get("bn_momentum", 0.02)
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, plan: UNetPlan, train: bool = False):
+        """feats: (V0, in_channels) level-0 voxel features."""
+        P, L = self.PLANES, self.LAYERS
+        lv = plan.levels
+        valids = [l.valid for l in lv]
+        bn = lambda name: MaskedBatchNorm(momentum=self.bn_mom, name=name)
+
+        # stem (pixel_dist 1)
+        stem_vol = plan.stem_nbr.shape[1]
+        out = SubMConv(self.INIT_DIM, kernel_volume=stem_vol,
+                       name="conv0p1s1")(feats, plan.stem_nbr, valids[0])
+        out = bn("bn0")(out, valids[0], use_running_average=not train)
+        out_p1 = nn.relu(out)
+
+        # down 1
+        out = DownConv(self.INIT_DIM, name="conv1p1s2")(out_p1, lv[0], lv[1])
+        out = bn("bn1")(out, valids[1], use_running_average=not train)
+        out = nn.relu(out)
+        out_b1p2 = self._blocks(out, L[0], P[0], plan.subm_nbr[1], valids[1],
+                                train, "block1")
+        # down 2
+        out = DownConv(P[0], name="conv2p2s2")(out_b1p2, lv[1], lv[2])
+        out = bn("bn2")(out, valids[2], use_running_average=not train)
+        out = nn.relu(out)
+        out_b2p4 = self._blocks(out, L[1], P[1], plan.subm_nbr[2], valids[2],
+                                train, "block2")
+        # down 3
+        out = DownConv(P[1], name="conv3p4s2")(out_b2p4, lv[2], lv[3])
+        out = bn("bn3")(out, valids[3], use_running_average=not train)
+        out = nn.relu(out)
+        out_b3p8 = self._blocks(out, L[2], P[2], plan.subm_nbr[3], valids[3],
+                                train, "block3")
+        # down 4 (pixel_dist 16)
+        out = DownConv(P[2], name="conv4p8s2")(out_b3p8, lv[3], lv[4])
+        out = bn("bn4")(out, valids[4], use_running_average=not train)
+        out = nn.relu(out)
+        out = self._blocks(out, L[3], P[3], plan.subm_nbr[4], valids[4],
+                           train, "block4")
+
+        # up 4 -> pixel_dist 8
+        out = UpConv(P[4], name="convtr4p16s2")(out, lv[3])
+        out = bn("bntr4")(out, valids[3], use_running_average=not train)
+        out = nn.relu(out)
+        out = jnp.concatenate([out, out_b3p8], axis=-1)
+        out = self._blocks(out, L[4], P[4], plan.subm_nbr[3], valids[3],
+                           train, "block5")
+        # up 5 -> pixel_dist 4
+        out = UpConv(P[5], name="convtr5p8s2")(out, lv[2])
+        out = bn("bntr5")(out, valids[2], use_running_average=not train)
+        out = nn.relu(out)
+        out = jnp.concatenate([out, out_b2p4], axis=-1)
+        out = self._blocks(out, L[5], P[5], plan.subm_nbr[2], valids[2],
+                           train, "block6")
+        # up 6 -> pixel_dist 2
+        out = UpConv(P[6], name="convtr6p4s2")(out, lv[1])
+        out = bn("bntr6")(out, valids[1], use_running_average=not train)
+        out = nn.relu(out)
+        out = jnp.concatenate([out, out_b1p2], axis=-1)
+        out = self._blocks(out, L[6], P[6], plan.subm_nbr[1], valids[1],
+                           train, "block7")
+        # up 7 -> pixel_dist 1
+        out = UpConv(P[7], name="convtr7p2s2")(out, lv[0])
+        out = bn("bntr7")(out, valids[0], use_running_average=not train)
+        out = nn.relu(out)
+        out = jnp.concatenate([out, out_p1], axis=-1)
+        out = self._blocks(out, L[7], P[7], plan.subm_nbr[0], valids[0],
+                           train, "block8")
+        return out
