@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 from segdino3d_tpu.gtypes import BackboneOutput, SceneBatch
@@ -27,97 +28,93 @@ from segdino3d_tpu.ops.voxelize import devoxelize, voxelize
 from segdino3d_tpu.models.backbone.res16unet import build_unet_plan
 
 
-def _flat_batch(batch: SceneBatch):
-    """Flatten (B, P, ...) -> (B*P, ...) with a batch index vector."""
-    b, p = batch.points.shape[:2]
-    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-    return b, p, bidx
+def flat_batch_index(b: int, p: int):
+    return jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
 
 
-def superpoint_segment_ids(batch: SceneBatch, s_cap: int):
+def superpoint_segment_ids(superpoint_ids: jnp.ndarray, s_cap: int):
     """Global segment id (b * S + sp) for flattened points."""
-    b, p, _ = _flat_batch(batch)
-    sp = jnp.clip(batch.superpoint_ids, 0, s_cap - 1)
-    seg = (jnp.arange(b, dtype=jnp.int32)[:, None] * s_cap + sp).reshape(-1)
-    return seg
+    b = superpoint_ids.shape[0]
+    sp = jnp.clip(superpoint_ids, 0, s_cap - 1)
+    return (jnp.arange(b, dtype=jnp.int32)[:, None] * s_cap + sp).reshape(-1)
 
 
-def run_backbone(
-    unet_module,
-    unet_variables,
-    batch: SceneBatch,
-    *,
-    voxel_size: float,
-    s_cap: int,
-    voxel_cap: Optional[int] = None,
-    level_caps: Optional[Sequence[int]] = None,
-    stem_kernel: int = 5,
-    train: bool = False,
-    mode_fuse_2d_feat: str = "early_fusion",
-    compute_dtype=jnp.float32,
-    mutable: bool = False,
-):
-    """Returns (BackboneOutput, new_batch_stats | None)."""
-    b, p, bidx = _flat_batch(batch)
-    n = b * p
+class SparseBackboneWrapper(nn.Module):
+    """Wraps a sparse U-Net with voxelize / unpool / superpoint pooling."""
+    unet: nn.Module
+    voxel_size: float = 0.02
+    s_cap: int = 1024
+    voxel_cap: Optional[int] = None
+    level_caps: Optional[Sequence[int]] = None
+    stem_kernel: int = 5
+    mode_fuse_2d_feat: str = "early_fusion"
+    include_centered_xyz: bool = False  # SpConvUNet path adds xyz - mean(xyz)
+    compute_dtype: str = "float32"
+    shift_to_origin: bool = True        # spconv path min-shifts by raw min
 
-    pts = batch.points.reshape(n, 6)
-    pvalid = batch.point_valid.reshape(n)
+    @nn.compact
+    def __call__(self, batch: SceneBatch, train: bool = False):
+        b, p = batch.points.shape[:2]
+        n = b * p
+        s_cap = self.s_cap
+        dtype = jnp.dtype(self.compute_dtype)
+        bidx = flat_batch_index(b, p)
 
-    # --- coordinates for the conv grid (elastic when present) ---
-    if batch.elastic_coords is not None:
-        coords_vox = batch.elastic_coords.reshape(n, 3)  # already voxel units
-    else:
-        coords_vox = pts[:, :3] / voxel_size
+        pts = batch.points.reshape(n, 6)
+        pvalid = batch.point_valid.reshape(n)
 
-    # per-scene min shift, rounded down to a multiple of 16 (see docstring)
-    per_scene = coords_vox.reshape(b, p, 3)
-    big = jnp.asarray(1e9, per_scene.dtype)
-    masked = jnp.where(batch.point_valid[..., None], per_scene, big)
-    mins = jnp.floor(jnp.min(masked, axis=1) / 16.0) * 16.0  # (B, 3)
-    shift = jnp.repeat(mins, p, axis=0)
-    coords_shifted = coords_vox - shift
+        if batch.elastic_coords is not None:
+            coords_vox = batch.elastic_coords.reshape(n, 3)  # voxel units
+        else:
+            coords_vox = pts[:, :3] / self.voxel_size
 
-    # --- features: rgb (+ centered xyz on some configs) + DINO-X ---
-    feats = pts[:, 3:]
-    if mode_fuse_2d_feat == "early_fusion" and batch.points_2dfeats is not None:
-        feats = jnp.concatenate(
-            [feats, batch.points_2dfeats.reshape(n, -1)], axis=-1)
-    feats = feats.astype(compute_dtype)
+        # per-scene min shift (multiple of 16 preserves downsample parity)
+        per_scene = coords_vox.reshape(b, p, 3)
+        big = jnp.asarray(1e9, per_scene.dtype)
+        masked = jnp.where(batch.point_valid[..., None], per_scene, big)
+        mins = jnp.floor(jnp.min(masked, axis=1) / 16.0) * 16.0
+        coords_shifted = coords_vox - jnp.repeat(mins, p, axis=0)
 
-    grid = voxelize(bidx, coords_shifted, feats, pvalid,
-                    num_voxels_static=voxel_cap)
-    plan = build_unet_plan(grid, num_levels=5, stem_kernel=stem_kernel,
-                           level_caps=level_caps)
+        feats = pts[:, 3:]
+        if self.include_centered_xyz:
+            # spconv path: append xyz centered on the raw per-scene mean
+            # (reference spconvunet.py:287)
+            w = batch.point_valid[..., None].astype(pts.dtype)
+            mean_xyz = (batch.points[..., :3] * w).sum(1) / jnp.maximum(
+                w.sum(1), 1.0)
+            centered = (batch.points[..., :3] - mean_xyz[:, None, :]).reshape(n, 3)
+            feats = jnp.concatenate([feats, centered], axis=-1)
+        if (self.mode_fuse_2d_feat == "early_fusion"
+                and batch.points_2dfeats is not None):
+            feats = jnp.concatenate(
+                [feats, batch.points_2dfeats.reshape(n, -1)], axis=-1)
+        feats = feats.astype(dtype)
 
-    if mutable:
-        vox_out, updates = unet_module.apply(
-            unet_variables, grid.feats, plan, train,
-            mutable=["batch_stats"])
-    else:
-        vox_out = unet_module.apply(unet_variables, grid.feats, plan, train)
-        updates = None
+        grid = voxelize(bidx, coords_shifted, feats, pvalid,
+                        num_voxels_static=self.voxel_cap)
+        plan = build_unet_plan(grid, num_levels=5,
+                               stem_kernel=self.stem_kernel,
+                               level_caps=self.level_caps)
+        vox_out = self.unet(grid.feats, plan, train)
+        pt_feats = devoxelize(vox_out, grid.inverse_mapping, pvalid)
 
-    pt_feats = devoxelize(vox_out, grid.inverse_mapping, pvalid)
+        seg = superpoint_segment_ids(batch.superpoint_ids, s_cap)
+        sp_feats = scatter.segment_mean(pt_feats, seg, b * s_cap, pvalid)
+        sp_feats = sp_feats.reshape(b, s_cap, -1)
 
-    # --- superpoint pooling ---
-    seg = superpoint_segment_ids(batch, s_cap)
-    sp_feats = scatter.segment_mean(pt_feats, seg, b * s_cap, pvalid)
-    sp_feats = sp_feats.reshape(b, s_cap, -1)
+        q_with = jnp.floor(coords_vox).astype(jnp.float32) * self.voxel_size
+        sp_pos = scatter.segment_mean(
+            q_with, seg, b * s_cap, pvalid).reshape(b, s_cap, 3)
+        q_wo = jnp.floor(pts[:, :3] / self.voxel_size).astype(jnp.float32) \
+            * self.voxel_size
+        sp_pos_wo = scatter.segment_mean(
+            q_wo, seg, b * s_cap, pvalid).reshape(b, s_cap, 3)
 
-    # centroids of quantized coords (with elastic / conv grid)
-    q_with = jnp.floor(coords_vox).astype(jnp.float32) * voxel_size
-    sp_pos = scatter.segment_mean(q_with, seg, b * s_cap, pvalid).reshape(b, s_cap, 3)
-    # centroids of quantized raw coords (no elastic)
-    q_wo = jnp.floor(pts[:, :3] / voxel_size).astype(jnp.float32) * voxel_size
-    sp_pos_wo = scatter.segment_mean(q_wo, seg, b * s_cap, pvalid).reshape(b, s_cap, 3)
-
-    sp_valid = (jnp.arange(s_cap, dtype=jnp.int32)[None, :]
-                < batch.num_superpoints[:, None])
-    out = BackboneOutput(
-        sp_feats=jnp.where(sp_valid[..., None], sp_feats, 0.0),
-        sp_pos=jnp.where(sp_valid[..., None], sp_pos, 0.0),
-        sp_pos_wo_elastic=jnp.where(sp_valid[..., None], sp_pos_wo, 0.0),
-        sp_valid=sp_valid,
-    )
-    return out, updates, grid
+        sp_valid = (jnp.arange(s_cap, dtype=jnp.int32)[None, :]
+                    < batch.num_superpoints[:, None])
+        return BackboneOutput(
+            sp_feats=jnp.where(sp_valid[..., None], sp_feats, 0.0),
+            sp_pos=jnp.where(sp_valid[..., None], sp_pos, 0.0),
+            sp_pos_wo_elastic=jnp.where(sp_valid[..., None], sp_pos_wo, 0.0),
+            sp_valid=sp_valid,
+        )
