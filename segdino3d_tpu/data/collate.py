@@ -1,0 +1,147 @@
+"""Padded-batch assembly: numpy records -> ``SceneBatch`` pytrees.
+
+Replaces the reference's identity-zip ``collate_fn_3D``
+(``/root/reference/utils/dataset_utils.py:215-230``) — instead of ragged
+python lists, scenes are padded to static capacities so the whole step jits.
+Capacities are bucketed (rounded up to configurable multiples) to bound the
+number of distinct compiled programs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from segdino3d_tpu.gtypes import SceneBatch
+
+
+@dataclass(frozen=True)
+class PadSpec:
+    num_points: int
+    num_superpoints: int
+    num_instances: int
+    num_queries2d: int
+    num_semantic_classes: int
+
+    @staticmethod
+    def for_records(records: Sequence[Dict], num_semantic_classes: int,
+                    pt_multiple: int = 8192, sp_multiple: int = 128,
+                    inst_multiple: int = 16, q2d_multiple: int = 16
+                    ) -> "PadSpec":
+        def cap(n, m):
+            return max(m, int(-(-n // m)) * m)
+        p = max(r["points"].shape[0] for r in records)
+        s = max((0 if r["superpoint_ids"] is None else
+                 int(r["superpoint_ids"].max()) + 1) for r in records)
+        i = max(len(r["inst_labels"]) for r in records)
+        k = max((0 if r.get("query2d_pos") is None else r["query2d_pos"].shape[0])
+                for r in records)
+        return PadSpec(cap(p, pt_multiple), cap(s, sp_multiple),
+                       cap(i, inst_multiple), cap(max(k, 1), q2d_multiple),
+                       num_semantic_classes)
+
+
+def _pad_to(arr: np.ndarray, n: int, axis: int = 0, fill=0):
+    pad = n - arr.shape[axis]
+    if pad < 0:
+        raise ValueError(
+            f"record dim {arr.shape[axis]} exceeds capacity {n} (axis {axis})")
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
+    b = len(records)
+    P, S, I, K = (spec.num_points, spec.num_superpoints,
+                  spec.num_instances, spec.num_queries2d)
+    Csem = spec.num_semantic_classes
+
+    points = np.zeros((b, P, 6), np.float32)
+    point_valid = np.zeros((b, P), bool)
+    sp_ids = np.zeros((b, P), np.int32)
+    n_sp = np.zeros((b,), np.int32)
+    inst_labels = np.zeros((b, I), np.int32)
+    inst_valid = np.zeros((b, I), bool)
+    point_inst = np.full((b, P), -1, np.int32)
+    sp_inst_masks = np.zeros((b, I, S), bool)
+    sp_sem_masks = np.zeros((b, Csem + 1, S), bool)
+    scene_idx = np.zeros((b,), np.int32)
+
+    any_2d = any(r.get("points_2dfeats") is not None for r in records)
+    any_el = any(r.get("elastic_coords") is not None for r in records)
+    c2d = next((r["points_2dfeats"].shape[-1] for r in records
+                if r.get("points_2dfeats") is not None), 0)
+    cq = next((r["query2d_feats"].shape[-1] for r in records
+               if r.get("query2d_feats") is not None), 0)
+    p2d = np.zeros((b, P, c2d), np.float32) if any_2d else None
+    q2f = np.zeros((b, K, cq), np.float32) if any_2d else None
+    q2p = np.zeros((b, K, 3), np.float32) if any_2d else None
+    q2v = np.zeros((b, K), bool) if any_2d else None
+    elastic = np.zeros((b, P, 3), np.float32) if any_el else None
+
+    for bi, r in enumerate(records):
+        n = r["points"].shape[0]
+        points[bi] = _pad_to(np.asarray(r["points"], np.float32), P)
+        point_valid[bi, :n] = True
+        if r["superpoint_ids"] is not None:
+            sp_ids[bi] = _pad_to(r["superpoint_ids"].astype(np.int32), P)
+            n_sp[bi] = int(r["superpoint_ids"].max()) + 1
+        ni = len(r["inst_labels"])
+        inst_labels[bi, :ni] = r["inst_labels"]
+        inst_valid[bi, :ni] = True
+        point_inst[bi] = _pad_to(r["point_inst_ids"].astype(np.int32), P, fill=-1)
+        if r.get("sp_inst_masks") is not None:
+            m = r["sp_inst_masks"]
+            sp_inst_masks[bi, :m.shape[0], :m.shape[1]] = m
+        if r.get("sp_sem_masks") is not None:
+            m = r["sp_sem_masks"]
+            sp_sem_masks[bi, :, :m.shape[1]] = m
+        scene_idx[bi] = r.get("scene_idx", bi)
+        if any_2d and r.get("points_2dfeats") is not None:
+            p2d[bi] = _pad_to(np.asarray(r["points_2dfeats"], np.float32), P)
+            nq = r["query2d_feats"].shape[0]
+            q2f[bi, :nq] = r["query2d_feats"]
+            q2p[bi, :nq] = r["query2d_pos"]
+            q2v[bi, :nq] = True
+        if any_el:
+            if r.get("elastic_coords") is not None:
+                elastic[bi] = _pad_to(
+                    np.asarray(r["elastic_coords"], np.float32), P)
+            else:
+                # fall back to raw coords / voxel units handled by caller;
+                # mixed batches keep raw coords in voxel units
+                vs = r.get("coords_voxel_size", 0.02)
+                elastic[bi] = _pad_to(
+                    np.asarray(r["points"][:, :3] / vs, np.float32), P)
+
+    import jax.numpy as jnp
+
+    def j(x):
+        return None if x is None else jnp.asarray(x)
+
+    return SceneBatch(
+        points=j(points), point_valid=j(point_valid),
+        superpoint_ids=j(sp_ids), num_superpoints=j(n_sp),
+        points_2dfeats=j(p2d), query2d_feats=j(q2f),
+        query2d_pos=j(q2p), query2d_valid=j(q2v),
+        elastic_coords=j(elastic),
+        inst_labels=j(inst_labels), inst_valid=j(inst_valid),
+        point_inst_ids=j(point_inst),
+        sp_inst_masks=j(sp_inst_masks), sp_sem_masks=j(sp_sem_masks),
+        scene_idx=j(scene_idx),
+    )
+
+
+def eval_annotation(record: Dict, bg_class_id: int = 200) -> Dict[str, np.ndarray]:
+    """Per-point GT maps for the evaluator (reference builds these from
+    target masks in ``evaluate_3d.py:48-56``)."""
+    inst = record["inst_merged"]
+    sem = record["semantic_masks"]
+    sem_ann = np.where(inst >= 0, sem, bg_class_id)
+    return dict(pts_instance_mask=inst.astype(np.int64),
+                pts_semantic_mask=sem_ann.astype(np.int64),
+                lidar_idx=record["scene_id"])

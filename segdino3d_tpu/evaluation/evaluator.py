@@ -1,0 +1,113 @@
+"""Instance-seg evaluator: accumulates per-scene predictions, computes mAP.
+
+Parity target: ``InstanceSeg3DEvaluator`` + ``evaluate_3d``
+(``/root/reference/evaluation/evaluator_3d.py:18-396``,
+``evaluation/evaluate_3d.py:44-68``): converts panoptic-style GT markup back
+to instance-task ids (``map_inst_markup`` :323-349), feeds the ScanNet AP
+protocol with ``valid_class_ids`` minus the stuff classes, and (optionally)
+writes benchmark-submission files.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from segdino3d_tpu.evaluation.instance_seg_eval import instance_seg_eval
+from segdino3d_tpu.registry import EVALUATORS
+
+
+def map_inst_markup(sem: np.ndarray, inst: np.ndarray,
+                    valid_thing_ids: Sequence[int], num_stuff: int):
+    """Reference :323-349 — undo the stuff-merged panoptic encoding."""
+    inst = inst.astype(np.int64) - num_stuff
+    inst[inst < 0] = -1
+    sem = sem.astype(np.int64) - num_stuff
+    sem[inst == -1] = -1
+    mapping = np.asarray(list(valid_thing_ids) + [-1], np.int64)
+    sem = mapping[sem]
+    return sem, inst
+
+
+@EVALUATORS.register_module()
+class InstanceSeg3DEvaluator:
+    """Accumulate (eval_ann, prediction) pairs; compute ScanNet AP."""
+
+    def __init__(self,
+                 valid_class_ids: Sequence[int],
+                 class_names: Sequence[str],
+                 stuff_class_inds: Sequence[int] = (0, 1),
+                 min_num_points: int = 1,
+                 id_offset: int = 2 ** 16,
+                 submission_prefix_instance: Optional[str] = None,
+                 submission_prefix_semantic: Optional[str] = None,
+                 **_unused):
+        self.valid_class_ids = list(valid_class_ids)
+        self.class_names = list(class_names)
+        self.num_stuff = len(stuff_class_inds)
+        self.min_num_points = min_num_points
+        self.id_offset = id_offset
+        self.submission_prefix_instance = submission_prefix_instance
+        self.submission_prefix_semantic = submission_prefix_semantic
+        self.reset()
+
+    def reset(self):
+        self._results: List = []
+
+    def process(self, eval_ann: Dict, pred: Dict):
+        """pred: dict with pts_instance_masks (N, P) bool, labels (N,),
+        scores (N,), and optional semantic/panoptic point maps."""
+        self._results.append((eval_ann, pred))
+
+    def evaluate(self) -> Dict:
+        if self.submission_prefix_instance:
+            self.format_results_instance()
+            return {}
+        gt_sems, gt_insts, masks, labels, scores = [], [], [], [], []
+        thing_ids = self.valid_class_ids[self.num_stuff:]
+        for ann, pred in self._results:
+            sem, inst = map_inst_markup(
+                ann["pts_semantic_mask"].copy(),
+                ann["pts_instance_mask"].copy(),
+                thing_ids, self.num_stuff)
+            gt_sems.append(sem)
+            gt_insts.append(inst)
+            masks.append(pred["pts_instance_masks"])
+            labels.append(pred["instance_labels"])
+            scores.append(pred["instance_scores"])
+        return instance_seg_eval(
+            gt_sems, gt_insts, masks, labels, scores,
+            valid_class_ids=thing_ids,
+            class_labels=self.class_names[self.num_stuff:],
+        )
+
+    # --- benchmark submission writers (reference :351-396) ---
+    def format_results_instance(self):
+        prefix = self.submission_prefix_instance
+        os.makedirs(prefix, exist_ok=True)
+        os.makedirs(os.path.join(prefix, "predicted_masks"), exist_ok=True)
+        for ann, pred in self._results:
+            sid = ann.get("lidar_idx", "scene")
+            lines = []
+            for i in range(len(pred["instance_labels"])):
+                cls = self.valid_class_ids[
+                    self.num_stuff + int(pred["instance_labels"][i])]
+                score = float(pred["instance_scores"][i])
+                rel = f"predicted_masks/{sid}_{i:03d}.txt"
+                lines.append(f"{rel} {cls} {score:.4f}")
+                np.savetxt(os.path.join(prefix, rel),
+                           pred["pts_instance_masks"][i].astype(np.int32),
+                           fmt="%d")
+            with open(os.path.join(prefix, f"{sid}.txt"), "w") as f:
+                f.write("\n".join(lines))
+
+    def format_results_semantic(self):
+        prefix = self.submission_prefix_semantic
+        os.makedirs(prefix, exist_ok=True)
+        for ann, pred in self._results:
+            sid = ann.get("lidar_idx", "scene")
+            sem = pred["pts_semantic_mask"]
+            out = np.asarray(self.valid_class_ids)[
+                np.clip(sem, 0, len(self.valid_class_ids) - 1)]
+            np.savetxt(os.path.join(prefix, f"{sid}.txt"), out, fmt="%d")
