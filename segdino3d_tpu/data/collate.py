@@ -99,7 +99,10 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
             sp_inst_masks[bi, :m.shape[0], :m.shape[1]] = m
         if r.get("sp_sem_masks") is not None:
             m = r["sp_sem_masks"]
-            sp_sem_masks[bi, :, :m.shape[1]] = m
+            # last row is the unlabeled/background class: keep it last even
+            # when the record's label space is smaller than the spec's
+            sp_sem_masks[bi, :m.shape[0] - 1, :m.shape[1]] = m[:-1]
+            sp_sem_masks[bi, -1, :m.shape[1]] = m[-1]
         scene_idx[bi] = r.get("scene_idx", bi)
         if any_2d and r.get("points_2dfeats") is not None:
             p2d[bi] = _pad_to(np.asarray(r["points_2dfeats"], np.float32), P)

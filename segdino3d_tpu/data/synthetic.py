@@ -65,6 +65,7 @@ def synthetic_scene(seed: int = 0,
            + np.floor(pts[:, 1] / cell).astype(np.int64) * 10
            + np.floor(pts[:, 2] / 1.0).astype(np.int64))
     _, sp = np.unique(key, return_inverse=True)
+    sp = sp % n_superpoints   # cap at the requested superpoint count
 
     num_sp = int(sp.max()) + 1
     from segdino3d_tpu.data.scannet_dataset import pool_to_superpoints

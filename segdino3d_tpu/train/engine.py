@@ -1,0 +1,69 @@
+"""Iteration-based training engine.
+
+Parity target: ``train_multi_loader_step_3d``
+(``/root/reference/engine/train_engine_3d.py:12-184``): infinite iteration
+over the train loader, one fused train step (fwd/bwd/clip/AdamW/PolyLR/EMA),
+loss logging with windowed meters, periodic checkpoint save and in-loop
+evaluation.  AMP/GradScaler (:55,99-110) is unnecessary — TPUs run bf16
+natively without loss scaling.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from segdino3d_tpu.train.checkpoint import save_checkpoint
+from segdino3d_tpu.utils.metrics import MetricLogger
+
+
+def train_loop(*,
+               step_fn: Callable,
+               state,
+               train_loader,
+               num_iterations: int,
+               schedule_fn=None,
+               logger=None,
+               print_freq: int = 10,
+               save_step: int = 1000,
+               eval_step: Optional[int] = None,
+               eval_fn: Optional[Callable] = None,
+               work_dir: Optional[str] = None,
+               seed: int = 0,
+               eval_first: bool = False):
+    """Run the training loop; returns the final state."""
+    metric_logger = MetricLogger(logger=logger)
+    rng = jax.random.PRNGKey(seed)
+
+    if eval_first and eval_fn is not None:
+        eval_fn(state)
+
+    start_step = int(state.step)
+    it = iter(train_loader)
+    t_end = time.time()
+    for step in range(start_step, num_iterations):
+        batch = next(it)
+        data_t = time.time() - t_end
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if step % print_freq == 0:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            lr = float(schedule_fn(step)) if schedule_fn else float("nan")
+            metric_logger.update(lr=lr, data_time=data_t, **host_metrics)
+            iter_t = time.time() - t_end
+            msg = (f"iter [{step}/{num_iterations}] "
+                   + "  ".join(f"{k}: {v:.4f}" for k, v in host_metrics.items())
+                   + f"  lr: {lr:.3e}  time: {iter_t:.3f}s")
+            (logger.info if logger else print)(msg)
+        t_end = time.time()
+
+        if work_dir and save_step and (step + 1) % save_step == 0:
+            save_checkpoint(work_dir, jax.device_get(state))
+        if eval_fn is not None and eval_step and (step + 1) % eval_step == 0:
+            eval_fn(state)
+
+    if work_dir:
+        save_checkpoint(work_dir, jax.device_get(state))
+    return state

@@ -1,0 +1,181 @@
+"""Training / evaluation entry point.
+
+CLI-compatible with the reference's ``train_3d.py`` (same flags:
+``--config_file --work_dir --options --seed --eval_only --resume
+--load_pretrained_ckpt``; reference ``train_3d.py:42-97``), driving the
+TPU-native stack: mesh data parallelism instead of DDP, one jitted train
+step instead of the python loss/backward/step sequence.
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_args():
+    p = argparse.ArgumentParser("SegDINO3D-TPU training")
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--work_dir", default="work_dirs/default")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--eval_first", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--load_pretrained_ckpt", default=None)
+    p.add_argument("--num_eval_scenes", type=int, default=None)
+    p.add_argument("--options", nargs="*", default=None,
+                   help="key=value config overrides (nested keys with dots)")
+    return p.parse_args()
+
+
+def parse_options(opts):
+    if not opts:
+        return {}
+    out = {}
+    for kv in opts:
+        k, v = kv.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def main():
+    args = get_args()
+
+    import jax
+    import numpy as np
+
+    from segdino3d_tpu.builder import Capacities, build_model
+    from segdino3d_tpu.config.config import Config
+    from segdino3d_tpu.data.collate import PadSpec
+    from segdino3d_tpu.data.loader import ConcatDataset, EvalLoader, TrainLoader
+    from segdino3d_tpu.data.scannet_constants import (
+        SCANNET200_CLASS_NAMES, SCANNET200_RAW_IDS, SCANNET20_CLASS_NAMES,
+        SCANNET20_RAW_IDS)
+    from segdino3d_tpu.evaluation.evaluate import evaluate
+    from segdino3d_tpu.evaluation.evaluator import InstanceSeg3DEvaluator
+    from segdino3d_tpu.gtypes import SceneBatch
+    from segdino3d_tpu.parallel.mesh import init_distributed, make_mesh
+    from segdino3d_tpu.parallel.train_step import (
+        TrainState, create_train_state, make_eval_step, make_train_step)
+    from segdino3d_tpu.registry import DATASETS
+    from segdino3d_tpu.train.checkpoint import (merge_pretrained,
+                                                restore_checkpoint,
+                                                save_checkpoint)
+    from segdino3d_tpu.train.engine import train_loop
+    from segdino3d_tpu.train.optim import build_optimizer
+    from segdino3d_tpu.utils.logging import (dump_code, get_git_sha,
+                                             setup_logger)
+    import segdino3d_tpu.data.scannet_dataset  # noqa: F401 (registry)
+    import segdino3d_tpu.data.transforms  # noqa: F401
+
+    init_distributed()
+    os.makedirs(args.work_dir, exist_ok=True)
+    logger = setup_logger(args.work_dir, process_index=jax.process_index())
+    logger.info(f"git sha: {get_git_sha()}")
+    logger.info(f"devices: {jax.devices()}")
+    dump_code(args.work_dir)
+
+    cfg = Config.fromfile(args.config_file)
+    cfg.merge_from_options(parse_options(args.options))
+    cfg.dump(os.path.join(args.work_dir, "config.py"))
+
+    caps = Capacities.from_cfg(cfg.get("capacities"))
+    model, criterion, test_cfg = build_model(cfg.model, caps)
+
+    # ---- init params with a tiny synthetic batch ----
+    from segdino3d_tpu.data.synthetic import synthetic_scene
+    from segdino3d_tpu.data.collate import collate
+    n_sem = cfg.model["decoder_cfg"]["num_semantic_classes"]
+    spec_small = PadSpec(4096, 256, 32, 32, n_sem)
+    init_rec = synthetic_scene(0, n_points=2048, n_superpoints=64,
+                               n_classes=min(n_sem, 18))
+    init_batch = collate([init_rec], spec_small)
+    rngs = {"params": jax.random.PRNGKey(args.seed),
+            "queries": jax.random.PRNGKey(args.seed + 1)}
+    variables = model.init(rngs, init_batch, False)
+    n_params = sum(np.prod(x.shape) for x in
+                   jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"model parameters: {n_params / 1e6:.2f}M")
+
+    if args.load_pretrained_ckpt:
+        from segdino3d_tpu.train.torch_import import load_torch_checkpoint
+        pre = load_torch_checkpoint(args.load_pretrained_ckpt, model)
+        variables = dict(variables)
+        variables["params"] = merge_pretrained(variables["params"], pre)
+
+    tx, sched = build_optimizer(cfg.optimizer, cfg.scheduler,
+                                cfg.get("clip_max_norm"))
+    state = create_train_state(variables, tx,
+                               use_ema=cfg.get("use_ema", False))
+    if args.resume:
+        restored = restore_checkpoint(args.work_dir, jax.device_get(state))
+        if restored is not None:
+            state = restored
+            logger.info(f"resumed at step {int(state.step)}")
+
+    # ---- data ----
+    spec = PadSpec(caps.num_points, caps.num_superpoints, caps.num_instances,
+                   caps.num_queries2d, n_sem)
+    eval_ds = DATASETS.build(dict(cfg.data["eval_main"][0]))
+    n_stuff = len(cfg.get("evaluator_cfg", {}).get("stuff_class_inds", [0, 1]))
+    if n_sem == 200:
+        valid_ids, names = SCANNET200_RAW_IDS, SCANNET200_CLASS_NAMES
+    else:
+        valid_ids, names = SCANNET20_RAW_IDS, SCANNET20_CLASS_NAMES
+    evaluator = InstanceSeg3DEvaluator(
+        valid_class_ids=valid_ids, class_names=names,
+        stuff_class_inds=list(range(n_stuff)))
+    eval_loader = EvalLoader(eval_ds, spec, limit=args.num_eval_scenes)
+
+    def run_eval(st):
+        params = st.ema_params if (cfg.get("use_ema") and st.ema_params
+                                   is not None) else st.params
+        vs = {"params": params, "batch_stats": st.batch_stats}
+        res = evaluate(model, vs, eval_loader, evaluator, test_cfg,
+                       filter_outofbox=cfg.model.get(
+                           "filter_outofbox_points_eval", True),
+                       bg_class_id=eval_ds.bg_class_id, logger=logger)
+        if res:
+            logger.info(
+                f"mAP: {res['all_ap']:.4f}  mAP50: {res['all_ap_50']:.4f}  "
+                f"mAP25: {res['all_ap_25']:.4f}")
+        return res
+
+    if args.eval_only:
+        run_eval(state)
+        return
+
+    train_sets = [DATASETS.build(dict(c)) for c in cfg.data["train_main"]]
+    dataset = ConcatDataset(train_sets)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    train_loader = TrainLoader(
+        dataset, cfg.data.get("train_batch_size", 4), spec, seed=args.seed,
+        sync_scale=cfg.data.get("sync_scale", True),
+        num_workers=cfg.data.get("num_workers", 4),
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+
+    step_fn = make_train_step(
+        model, criterion, tx,
+        ema_decay=cfg.get("ema_decay") if cfg.get("use_ema") else None,
+        mesh=mesh)
+
+    train_loop(
+        step_fn=step_fn, state=state, train_loader=train_loader,
+        num_iterations=cfg.get("num_iterations", 1000),
+        schedule_fn=sched, logger=logger,
+        print_freq=cfg.get("print_freq", 10),
+        save_step=cfg.get("save_step", 1000),
+        eval_step=cfg.get("eval_step"), eval_fn=run_eval,
+        work_dir=args.work_dir, seed=args.seed,
+        eval_first=args.eval_first)
+
+
+if __name__ == "__main__":
+    main()
