@@ -142,26 +142,26 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
               valid: jnp.ndarray) -> jnp.ndarray:
     """Submanifold convolution: output coords == input coords.
 
+    Gather-GEMM-accumulate as a ``lax.scan`` over kernel offsets — one
+    gather + one MXU matmul per offset, O(1) HLO size regardless of the
+    kernel volume (27 or 125), transient memory one (V, C) buffer.
+
     Args:
         feats: (V, Cin).
         nbr: (V, n_off) neighbor table for this level & kernel size.
         weights: (n_off, Cin, Cout).
         valid: (V,) bool.
     """
-    n_off = weights.shape[0]
-    center = n_off // 2 if n_off % 2 == 1 else None
     cout = weights.shape[2]
-    out = jnp.zeros((feats.shape[0], cout), feats.dtype)
+    out0 = jnp.zeros((feats.shape[0], cout), feats.dtype)
 
-    def body(o, acc):
-        g = _gather_rows(feats, nbr[:, o])
-        return acc + jnp.dot(g, weights[o], preferred_element_type=acc.dtype)
+    def body(acc, xs):
+        nbr_o, w_o = xs
+        g = _gather_rows(feats, nbr_o)
+        return acc + jnp.dot(g, w_o, preferred_element_type=acc.dtype), None
 
-    # Unrolled python loop lets XLA pipeline gathers with matmuls; offsets
-    # count is static & small (27 or 125).
-    for o in range(n_off):
-        out = body(o, out)
-    del center
+    out, _ = jax.lax.scan(body, out0,
+                          (nbr.T, weights.astype(feats.dtype)))
     return jnp.where(valid[:, None], out, 0.0)
 
 
@@ -176,16 +176,23 @@ def down_conv(feats: jnp.ndarray, fine: Level, coarse: Level,
     """
     cout = weights.shape[2]
     v_coarse = coarse.coords.shape[0]
-    out = jnp.zeros((v_coarse, cout), feats.dtype)
     parent = jnp.where(fine.valid, fine.parent_idx, v_coarse)
-    for o in range(8):
+    # per-voxel weight select via scan over the 8 kernel slots, then one
+    # scatter-add by parent
+    contrib0 = jnp.zeros((feats.shape[0], cout), feats.dtype)
+
+    def body(acc, xs):
+        o, w_o = xs
         sel = (fine.parent_kpos == o) & fine.valid
-        contrib = jnp.dot(feats * sel[:, None].astype(feats.dtype), weights[o],
-                          preferred_element_type=feats.dtype)
-        out = out + jax.ops.segment_sum(
-            jnp.where(sel[:, None], contrib, 0.0),
-            jnp.where(sel, parent, v_coarse),
-            num_segments=v_coarse + 1)[:v_coarse]
+        c = jnp.dot(feats * sel[:, None].astype(feats.dtype), w_o,
+                    preferred_element_type=feats.dtype)
+        return acc + jnp.where(sel[:, None], c, 0.0), None
+
+    contrib, _ = jax.lax.scan(
+        body, contrib0,
+        (jnp.arange(8, dtype=jnp.int32), weights.astype(feats.dtype)))
+    out = jax.ops.segment_sum(contrib, parent,
+                              num_segments=v_coarse + 1)[:v_coarse]
     return jnp.where(coarse.valid[:, None], out, 0.0)
 
 
@@ -199,13 +206,17 @@ def up_conv(feats: jnp.ndarray, fine: Level, weights: jnp.ndarray) -> jnp.ndarra
     """
     gathered = _gather_rows(feats, jnp.where(fine.valid, fine.parent_idx, -1))
     cout = weights.shape[2]
-    out = jnp.zeros((fine.coords.shape[0], cout), feats.dtype)
-    for o in range(8):
+    out0 = jnp.zeros((fine.coords.shape[0], cout), feats.dtype)
+
+    def body(acc, xs):
+        o, w_o = xs
         sel = (fine.parent_kpos == o) & fine.valid
-        out = out + jnp.where(
-            sel[:, None],
-            jnp.dot(gathered, weights[o], preferred_element_type=feats.dtype),
-            0.0)
+        c = jnp.dot(gathered, w_o, preferred_element_type=feats.dtype)
+        return acc + jnp.where(sel[:, None], c, 0.0), None
+
+    out, _ = jax.lax.scan(
+        body, out0,
+        (jnp.arange(8, dtype=jnp.int32), weights.astype(feats.dtype)))
     return out
 
 
