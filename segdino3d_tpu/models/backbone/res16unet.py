@@ -35,14 +35,10 @@ def build_unet_plan(grid: VoxelGrid, num_levels: int = 5,
                     level_caps: Optional[Sequence[int]] = None) -> UNetPlan:
     plan = SC.build_conv_plan(grid, num_levels, level_caps)
     k3 = SC.kernel_offsets(3)
-    subm = tuple(
-        SC._neighbor_table(l.key_hi, l.key_lo, l.coords, l.valid, k3)
-        for l in plan.levels)
-    stem = None
+    subm = tuple(SC._neighbor_table(l, k3) for l in plan.levels)
     if stem_kernel != 3:
-        k5 = SC.kernel_offsets(stem_kernel)
-        l0 = plan.levels[0]
-        stem = SC._neighbor_table(l0.key_hi, l0.key_lo, l0.coords, l0.valid, k5)
+        stem = SC._neighbor_table(plan.levels[0],
+                                  SC.kernel_offsets(stem_kernel))
     else:
         stem = subm[0]
     return UNetPlan(levels=plan.levels, subm_nbr=subm, stem_nbr=stem)

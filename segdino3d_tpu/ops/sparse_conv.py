@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from segdino3d_tpu.ops import keys as K
+from segdino3d_tpu.ops.hashing import CoordHash, build_hash, lookup_hash
 from segdino3d_tpu.ops.voxelize import VoxelGrid
 
 
@@ -48,58 +49,61 @@ class Level(NamedTuple):
     """One stride level of the coordinate pyramid (a pytree)."""
     coords: jnp.ndarray      # (V, 4) int32 in units of this level's stride
     valid: jnp.ndarray       # (V,) bool
-    key_hi: jnp.ndarray      # (V,) sorted keys
-    key_lo: jnp.ndarray
+    hash: CoordHash          # key -> voxel id at this level
     num_voxels: jnp.ndarray  # () int32
     # Links to the next-coarser level (None at the deepest level):
     parent_idx: Optional[jnp.ndarray]   # (V,) int32 index into coarser level
     parent_kpos: Optional[jnp.ndarray]  # (V,) int32 in [0, 8): offset slot in the 2x2x2 block
 
 
-def _neighbor_table(level_hi, level_lo, coords, valid, offsets: np.ndarray) -> jnp.ndarray:
-    """(V, n_off) int32 indices of ``coords + offset`` in the level's sorted
-    keys, -1 where absent."""
+def _neighbor_table(level: "Level", offsets: np.ndarray) -> jnp.ndarray:
+    """(V, n_off) int32 indices of ``coords + offset`` at the level,
+    -1 where absent."""
     offs = jnp.asarray(offsets)  # (n_off, 3)
-    q = coords[:, None, :].astype(jnp.int32) + jnp.pad(offs, ((0, 0), (1, 0)))[None, :, :]
-    # negative coordinates can appear at volume borders -> mark invalid
+    coords, valid = level.coords, level.valid
+    q = coords[:, None, :].astype(jnp.int32) \
+        + jnp.pad(offs, ((0, 0), (1, 0)))[None, :, :]
     q_ok = valid[:, None] & jnp.all(q[:, :, 1:] >= 0, axis=-1)
     q_flat = q.reshape(-1, 4)
     q_hi, q_lo = K.pack_coords(q_flat, q_ok.reshape(-1))
-    idx = K.lookup_coords(level_hi, level_lo, q_hi, q_lo)
+    idx = lookup_hash(level.hash, q_hi, q_lo, q_ok.reshape(-1))
     return idx.reshape(coords.shape[0], offs.shape[0])
 
 
 def _downsample(level: "Level", v_cap: int):
-    """Unique(floor(coords/2)) -> coarser Level + parent links."""
+    """Unique(floor(coords/2)) -> coarser Level + parent links (hash-based,
+    first-occurrence voxel order, no sort)."""
+    n = level.coords.shape[0]
     fine_coords = level.coords
     coarse_xyz = jnp.where(level.valid[:, None], fine_coords[:, 1:] >> 1, 0)
-    coarse_coords_per_fine = jnp.concatenate(
-        [fine_coords[:, :1], coarse_xyz], axis=1)
-    hi, lo = K.pack_coords(coarse_coords_per_fine, level.valid)
-
-    n = fine_coords.shape[0]
+    coarse_per_fine = jnp.concatenate([fine_coords[:, :1], coarse_xyz], axis=1)
+    hi, lo = K.pack_coords(coarse_per_fine, level.valid)
     fine_idx = jnp.arange(n, dtype=jnp.int32)
-    s_hi, s_lo, s_fine = K.lexsort_keys(hi, lo, fine_idx)
-    seg_id, is_first, num_unique = K.unique_consecutive(s_hi, s_lo)
 
-    parent = jnp.zeros((n,), jnp.int32).at[s_fine].set(seg_id)
+    h = build_hash(hi, lo, fine_idx, level.valid, capacity=min(v_cap, n))
+    winner = lookup_hash(h, hi, lo, level.valid)
+    is_winner = (winner == fine_idx) & level.valid
+    vid = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    num_coarse = jnp.sum(is_winner.astype(jnp.int32))
+
+    parent = jnp.where(
+        winner >= 0, vid[jnp.clip(winner, 0, n - 1)], -1).astype(jnp.int32)
     kpos_xyz = fine_coords[:, 1:] & 1
-    parent_kpos = (kpos_xyz[:, 0] << 2) | (kpos_xyz[:, 1] << 1) | kpos_xyz[:, 2]
+    kpos = ((kpos_xyz[:, 0] << 2) | (kpos_xyz[:, 1] << 1)
+            | kpos_xyz[:, 2]).astype(jnp.int32)
 
-    slot = jnp.where(is_first, seg_id, v_cap)
-    coarse_coords = jnp.zeros((v_cap + 1, 4), jnp.int32).at[slot].set(
-        coarse_coords_per_fine[s_fine])[:v_cap]
-    c_hi = jnp.full((v_cap + 1,), K.INT32_MAX, jnp.int32).at[slot].set(s_hi)[:v_cap]
-    c_lo = jnp.full((v_cap + 1,), K.INT32_MAX, jnp.int32).at[slot].set(s_lo)[:v_cap]
-    c_valid = jnp.arange(v_cap, dtype=jnp.int32) < num_unique
-    c_hi = jnp.where(c_valid, c_hi, K.INT32_MAX)
-    c_lo = jnp.where(c_valid, c_lo, K.INT32_MAX)
+    upd = jnp.where(is_winner & (vid < v_cap), vid, v_cap)
+    coarse_coords = jnp.zeros((v_cap, 4), jnp.int32).at[upd].set(
+        coarse_per_fine, mode="drop")
+    c_valid = jnp.arange(v_cap, dtype=jnp.int32) < num_coarse
 
-    coarse = Level(
-        coords=coarse_coords, valid=c_valid, key_hi=c_hi, key_lo=c_lo,
-        num_voxels=num_unique, parent_idx=None, parent_kpos=None)
-    parent = jnp.where(level.valid, parent, -1)
-    return coarse, parent, parent_kpos.astype(jnp.int32)
+    remapped = jnp.where(
+        h.t_val >= 0, vid[jnp.clip(h.t_val, 0, n - 1)], -1).astype(jnp.int32)
+    h = h._replace(t_val=remapped)
+
+    coarse = Level(coords=coarse_coords, valid=c_valid, hash=h,
+                   num_voxels=num_coarse, parent_idx=None, parent_kpos=None)
+    return coarse, parent, kpos
 
 
 class ConvPlan(NamedTuple):
@@ -112,8 +116,8 @@ def build_conv_plan(grid: VoxelGrid, num_levels: int,
     """Build the stride-1..2^(L-1) coordinate pyramid from level-0 voxels."""
     v0 = grid.coords.shape[0]
     caps = list(level_caps) if level_caps is not None else [v0] * num_levels
-    lvl0 = Level(coords=grid.coords, valid=grid.valid, key_hi=grid.key_hi,
-                 key_lo=grid.key_lo, num_voxels=grid.num_voxels,
+    lvl0 = Level(coords=grid.coords, valid=grid.valid, hash=grid.hash,
+                 num_voxels=grid.num_voxels,
                  parent_idx=None, parent_kpos=None)
     levels = [lvl0]
     for li in range(1, num_levels):

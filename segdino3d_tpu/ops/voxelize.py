@@ -1,4 +1,4 @@
-"""Voxelization with ME-TensorField semantics, static shapes.
+"""Voxelization with ME-TensorField semantics, static shapes, hash-based.
 
 Replicates the behavior of ``ME.utils.batch_sparse_collate`` +
 ``ME.TensorField.sparse()`` + ``field.inverse_mapping`` used by the reference
@@ -8,101 +8,102 @@ average the features of points falling in the same voxel (TensorField's
 UNWEIGHTED_AVERAGE mode) and keep the point->voxel inverse mapping for the
 voxel->point ``slice`` unpooling.
 
-Everything is static-shape: N padded points in, V padded voxels out, with
-validity masks.  Voxel ids are assigned in key-sorted order so the voxel
-arrays are sorted by coordinate key — kernel-map construction reuses this.
+Deduplication uses the multi-table coordinate hash (``ops.hashing``) — no
+sort: one insert pass over the points plus one lookup round, all O(1)-depth
+batched gathers/scatters.  Voxel ids are assigned in first-occurrence
+(smallest point index) order, deterministically.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from segdino3d_tpu.ops import keys as K
+from segdino3d_tpu.ops.hashing import CoordHash, build_hash, lookup_hash
 
 
 class VoxelGrid(NamedTuple):
-    """A batch-flattened sparse voxel tensor (key-sorted)."""
-    coords: jnp.ndarray        # (V, 4) int32 (b, x, y, z); invalid rows arbitrary
+    """A batch-flattened sparse voxel tensor."""
+    coords: jnp.ndarray        # (V, 4) int32 (b, x, y, z); invalid rows zero
     feats: jnp.ndarray         # (V, C) float
     valid: jnp.ndarray         # (V,) bool
-    key_hi: jnp.ndarray        # (V,) int32 sorted key (sentinel on invalid)
-    key_lo: jnp.ndarray        # (V,) int32
+    hash: CoordHash            # coordinate key -> voxel id
     num_voxels: jnp.ndarray    # () int32 (dynamic, <= V)
-    inverse_mapping: jnp.ndarray  # (N,) int32 point -> voxel id (undefined for invalid points)
-    overflow: jnp.ndarray      # () bool: true voxel count exceeded static V
+    inverse_mapping: jnp.ndarray  # (N,) int32 point -> voxel id (-1 invalid)
+    overflow: jnp.ndarray      # () bool: capacity exceeded
 
 
 def voxelize(batch_idx: jnp.ndarray,
              coords_f: jnp.ndarray,
-             feats: jnp.ndarray,
+             feats: Optional[jnp.ndarray],
              valid: jnp.ndarray,
-             num_voxels_static: int | None = None) -> VoxelGrid:
+             num_voxels_static: Optional[int] = None) -> VoxelGrid:
     """Quantize points into a sparse voxel grid.
 
     Args:
         batch_idx: (N,) int32 scene index per point.
         coords_f: (N, 3) float point coordinates already divided by voxel
-            size (and min-shifted to be >= 0 by the caller when required).
-        feats: (N, C) features to average per voxel.
+            size (min-shifted to be >= 0 by the caller).
+        feats: (N, C) features to average per voxel (optional).
         valid: (N,) bool.
         num_voxels_static: static output voxel capacity V (default N).
-
-    Floor-quantization matches ME's ``batch_sparse_collate`` which floors
-    float coordinates to int.
     """
     n = coords_f.shape[0]
     v_cap = num_voxels_static or n
 
     ijk = jnp.floor(coords_f).astype(jnp.int32)
-    ijk = jnp.maximum(ijk, 0)  # caller min-shifts; clamp for safety on aug jitter
-    coords = jnp.concatenate([batch_idx[:, None].astype(jnp.int32), ijk], axis=1)
+    ijk = jnp.maximum(ijk, 0)
+    coords = jnp.concatenate([batch_idx[:, None].astype(jnp.int32), ijk],
+                             axis=1)
     hi, lo = K.pack_coords(coords, valid)
-
     point_idx = jnp.arange(n, dtype=jnp.int32)
-    s_hi, s_lo, s_pt = K.lexsort_keys(hi, lo, point_idx)
-    seg_id, is_first, num_unique = K.unique_consecutive(s_hi, s_lo)
-    overflow = num_unique > v_cap
 
-    # point -> voxel id in original order
-    inverse = jnp.zeros((n,), jnp.int32).at[s_pt].set(seg_id)
+    h = build_hash(hi, lo, point_idx, valid, capacity=min(v_cap, n))
+    winner_pt = lookup_hash(h, hi, lo, valid)          # (N,) point idx
+    is_winner = (winner_pt == point_idx) & valid
+    vid_at_point = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    num_voxels = jnp.sum(is_winner.astype(jnp.int32))
+    overflow = h.overflow | (num_voxels > v_cap)
 
-    # voxel coords/keys: first occurrence of each segment
-    vox_slot = jnp.where(is_first, seg_id, v_cap)  # invalid -> dumped in overflow row
-    coords_sorted = coords[s_pt]
-    vox_coords = jnp.zeros((v_cap + 1, 4), jnp.int32).at[vox_slot].set(coords_sorted)[:v_cap]
-    vox_hi = jnp.full((v_cap + 1,), K.INT32_MAX, jnp.int32).at[vox_slot].set(s_hi)[:v_cap]
-    vox_lo = jnp.full((v_cap + 1,), K.INT32_MAX, jnp.int32).at[vox_slot].set(s_lo)[:v_cap]
+    # inverse mapping: point -> voxel id of its winner
+    inv = jnp.where(
+        winner_pt >= 0,
+        vid_at_point[jnp.clip(winner_pt, 0, n - 1)], -1).astype(jnp.int32)
 
-    vox_valid = jnp.arange(v_cap, dtype=jnp.int32) < num_unique
-    # sentinel rows created via .set above already carry sentinel keys for
-    # segments made purely of invalid points; force consistency:
-    vox_hi = jnp.where(vox_valid, vox_hi, K.INT32_MAX)
-    vox_lo = jnp.where(vox_valid, vox_lo, K.INT32_MAX)
+    # voxel arrays: scatter winners (unique target slots)
+    upd = jnp.where(is_winner & (vid_at_point < v_cap), vid_at_point, v_cap)
+    vox_coords = jnp.zeros((v_cap, 4), jnp.int32).at[upd].set(
+        coords, mode="drop")
+    vox_valid = jnp.arange(v_cap, dtype=jnp.int32) < num_voxels
 
-    # unweighted average of point features per voxel
-    w = valid.astype(feats.dtype)
-    inv_clip = jnp.minimum(inverse, v_cap)  # guard overflow
-    sums = jax.ops.segment_sum(feats * w[:, None], inv_clip, num_segments=v_cap + 1)[:v_cap]
-    cnts = jax.ops.segment_sum(w, inv_clip, num_segments=v_cap + 1)[:v_cap]
-    vox_feats = sums / jnp.maximum(cnts, 1.0)[:, None]
-    vox_feats = jnp.where(vox_valid[:, None], vox_feats, 0.0)
+    # remap hash values: winner point idx -> voxel id (for later lookups)
+    tv = h.t_val
+    remapped = jnp.where(
+        tv >= 0, vid_at_point[jnp.clip(tv, 0, n - 1)], -1).astype(jnp.int32)
+    h = h._replace(t_val=remapped)
 
-    return VoxelGrid(
-        coords=vox_coords,
-        feats=vox_feats,
-        valid=vox_valid,
-        key_hi=vox_hi,
-        key_lo=vox_lo,
-        num_voxels=num_unique,
-        inverse_mapping=inverse,
-        overflow=overflow,
-    )
+    if feats is not None:
+        w = valid.astype(feats.dtype)
+        inv_clip = jnp.where(inv >= 0, jnp.minimum(inv, v_cap), v_cap)
+        sums = jax.ops.segment_sum(feats * w[:, None], inv_clip,
+                                   num_segments=v_cap + 1)[:v_cap]
+        cnts = jax.ops.segment_sum(w, inv_clip,
+                                   num_segments=v_cap + 1)[:v_cap]
+        vox_feats = sums / jnp.maximum(cnts, 1.0)[:, None]
+        vox_feats = jnp.where(vox_valid[:, None], vox_feats, 0.0)
+    else:
+        vox_feats = jnp.zeros((v_cap, 0), jnp.float32)
+
+    return VoxelGrid(coords=vox_coords, feats=vox_feats, valid=vox_valid,
+                     hash=h, num_voxels=num_voxels, inverse_mapping=inv,
+                     overflow=overflow)
 
 
 def devoxelize(vox_feats: jnp.ndarray, inverse_mapping: jnp.ndarray,
                point_valid: jnp.ndarray) -> jnp.ndarray:
     """Voxel -> point unpooling (ME ``x.slice(field)``)."""
-    out = jnp.take(vox_feats, inverse_mapping, axis=0, mode="fill", fill_value=0)
+    idx = jnp.where(inverse_mapping < 0, vox_feats.shape[0], inverse_mapping)
+    out = jnp.take(vox_feats, idx, axis=0, mode="fill", fill_value=0)
     return jnp.where(point_valid[:, None], out, 0.0)
