@@ -46,6 +46,9 @@ class SparseBackboneWrapper(nn.Module):
     s_cap: int = 1024
     voxel_cap: Optional[int] = None
     level_caps: Optional[Sequence[int]] = None
+    # static per-level voxel capacities as fractions of voxel_cap; surfaces
+    # shrink ~3.5x per 2x downsample, these are safe upper bounds
+    level_cap_ratios: Sequence[float] = (1.0, 0.5, 0.3, 0.2, 0.15)
     stem_kernel: int = 5
     mode_fuse_2d_feat: str = "early_fusion"
     include_centered_xyz: bool = False  # SpConvUNet path adds xyz - mean(xyz)
@@ -92,9 +95,15 @@ class SparseBackboneWrapper(nn.Module):
 
         grid = voxelize(bidx, coords_shifted, feats, pvalid,
                         num_voxels_static=self.voxel_cap)
+        level_caps = self.level_caps
+        if level_caps is None and self.level_cap_ratios is not None:
+            v0 = grid.coords.shape[0]
+            level_caps = [max(256, -(-int(v0 * r) // 256) * 256)
+                          for r in self.level_cap_ratios]
+            level_caps[0] = v0
         plan = build_unet_plan(grid, num_levels=5,
                                stem_kernel=self.stem_kernel,
-                               level_caps=self.level_caps)
+                               level_caps=level_caps)
         vox_out = self.unet(grid.feats, plan, train)
         pt_feats = devoxelize(vox_out, grid.inverse_mapping, pvalid)
 

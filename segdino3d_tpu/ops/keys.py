@@ -28,6 +28,41 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 _X_BITS = 20
 _Y_SHIFT = 15  # lo = y << 15 | z
 
+# --- single-word uint32 packing (hot path) ---
+# b(3) | x(10) | y(10) | z(9): batch < 8 per shard, extent < 1024x1024x512
+# voxels per scene (20.5m x 20.5m x 10.2m at 2cm). The coordinate hash uses
+# this 1-word key so a probe is a single gather; the (hi, lo) pair packing
+# above remains for capacity-unconstrained utilities.
+U32_B_BITS = 3
+U32_X_BITS = 10
+U32_Y_BITS = 10
+U32_Z_BITS = 9
+U32_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def pack_coords_u32(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Pack (N, 4) int32 ``(b, x, y, z)`` into one uint32 key.
+
+    Out-of-range coordinates are mapped to the sentinel (treated invalid) —
+    callers see them as absent neighbors / dropped voxels and the voxelizer
+    raises its overflow flag.
+    """
+    b = coords[:, 0]
+    x, y, z = coords[:, 1], coords[:, 2], coords[:, 3]
+    in_range = (
+        (b >= 0) & (b < (1 << U32_B_BITS))
+        & (x >= 0) & (x < (1 << U32_X_BITS))
+        & (y >= 0) & (y < (1 << U32_Y_BITS))
+        & (z >= 0) & (z < (1 << U32_Z_BITS)))
+    key = (
+        (b.astype(jnp.uint32) << (U32_X_BITS + U32_Y_BITS + U32_Z_BITS))
+        | (x.astype(jnp.uint32) << (U32_Y_BITS + U32_Z_BITS))
+        | (y.astype(jnp.uint32) << U32_Z_BITS)
+        | z.astype(jnp.uint32))
+    # the all-ones coordinate would alias the sentinel; treat it as invalid
+    return jnp.where(valid & in_range & (key != U32_SENTINEL),
+                     key, U32_SENTINEL)
+
 
 def pack_coords(coords: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pack (N, 4) int32 ``(b, x, y, z)`` coords into lexicographic (hi, lo).

@@ -56,18 +56,52 @@ class Level(NamedTuple):
     parent_kpos: Optional[jnp.ndarray]  # (V,) int32 in [0, 8): offset slot in the 2x2x2 block
 
 
-def _neighbor_table(level: "Level", offsets: np.ndarray) -> jnp.ndarray:
+def _neighbor_table(level: "Level", offsets: np.ndarray,
+                    symmetric: bool = True) -> jnp.ndarray:
     """(V, n_off) int32 indices of ``coords + offset`` at the level,
-    -1 where absent."""
-    offs = jnp.asarray(offsets)  # (n_off, 3)
+    -1 where absent.
+
+    With ``symmetric`` (odd centered kernels), only the first half of the
+    offsets is looked up; the mirrored half is reconstructed by scatter
+    (``nbr[j, mirror(o)] = i`` whenever ``nbr[i, o] = j``), halving the
+    gather rounds. In ``itertools.product`` order ``offsets[n-1-o] ==
+    -offsets[o]``.
+    """
+    n_off = len(offsets)
     coords, valid = level.coords, level.valid
-    q = coords[:, None, :].astype(jnp.int32) \
-        + jnp.pad(offs, ((0, 0), (1, 0)))[None, :, :]
-    q_ok = valid[:, None] & jnp.all(q[:, :, 1:] >= 0, axis=-1)
-    q_flat = q.reshape(-1, 4)
-    q_hi, q_lo = K.pack_coords(q_flat, q_ok.reshape(-1))
-    idx = lookup_hash(level.hash, q_hi, q_lo, q_ok.reshape(-1))
-    return idx.reshape(coords.shape[0], offs.shape[0])
+    v = coords.shape[0]
+    center = n_off // 2
+    use_sym = symmetric and n_off % 2 == 1 and np.array_equal(
+        offsets[::-1], -offsets)
+
+    def lookup(offs_subset):
+        offs = jnp.asarray(offs_subset)
+        q = coords[:, None, :].astype(jnp.int32) \
+            + jnp.pad(offs, ((0, 0), (1, 0)))[None, :, :]
+        q_flat = q.reshape(-1, 4)
+        key = K.pack_coords_u32(
+            q_flat, jnp.repeat(valid, offs.shape[0]))
+        idx = lookup_hash(level.hash, key)
+        return idx.reshape(v, offs.shape[0])
+
+    if not use_sym:
+        return lookup(offsets)
+
+    first = lookup(offsets[:center])              # (V, center)
+    self_idx = jnp.where(valid, jnp.arange(v, dtype=jnp.int32), -1)
+    # mirror half via transpose-scatter
+    mirror = jnp.full((v + 1, center), -1, jnp.int32)
+    src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[:, None],
+                           (v, center))
+    tgt = jnp.where(first >= 0, first, v)
+    cols = jnp.broadcast_to(jnp.arange(center, dtype=jnp.int32)[None, :],
+                            (v, center))
+    mirror = mirror.at[tgt, cols].set(src, mode="drop")[:v]
+    # column o of `mirror` holds, for each voxel j, the i with
+    # coords_i + offsets[o] == coords_j, i.e. j's neighbor at -offsets[o]
+    # = offsets[n-1-o]; flip columns to line up with offsets[center+1:]
+    second = mirror[:, ::-1]
+    return jnp.concatenate([first, self_idx[:, None], second], axis=1)
 
 
 def _downsample(level: "Level", v_cap: int):
@@ -77,11 +111,11 @@ def _downsample(level: "Level", v_cap: int):
     fine_coords = level.coords
     coarse_xyz = jnp.where(level.valid[:, None], fine_coords[:, 1:] >> 1, 0)
     coarse_per_fine = jnp.concatenate([fine_coords[:, :1], coarse_xyz], axis=1)
-    hi, lo = K.pack_coords(coarse_per_fine, level.valid)
+    key = K.pack_coords_u32(coarse_per_fine, level.valid)
     fine_idx = jnp.arange(n, dtype=jnp.int32)
 
-    h = build_hash(hi, lo, fine_idx, level.valid, capacity=min(v_cap, n))
-    winner = lookup_hash(h, hi, lo, level.valid)
+    h = build_hash(key, fine_idx, level.valid, capacity=min(v_cap, n))
+    winner = lookup_hash(h, key, level.valid)
     is_winner = (winner == fine_idx) & level.valid
     vid = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
     num_coarse = jnp.sum(is_winner.astype(jnp.int32))
@@ -143,12 +177,15 @@ def _gather_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
-              valid: jnp.ndarray) -> jnp.ndarray:
+              valid: jnp.ndarray, target_elems: int = 6_000_000) -> jnp.ndarray:
     """Submanifold convolution: output coords == input coords.
 
-    Gather-GEMM-accumulate as a ``lax.scan`` over kernel offsets — one
-    gather + one MXU matmul per offset, O(1) HLO size regardless of the
-    kernel volume (27 or 125), transient memory one (V, C) buffer.
+    Chunked gather-im2col-GEMM: voxels are processed in chunks; per chunk
+    one batched row-gather builds the (chunk, n_off*Cin) im2col patch and a
+    single MXU matmul with the flattened (n_off*Cin, Cout) kernel applies
+    the conv.  Large K keeps the MXU efficient (12+ TFLOPs vs ~4 for C=96
+    square matmuls on v5e) and the serial depth is n_chunks, not n_offsets.
+    ``target_elems`` bounds the transient im2col buffer.
 
     Args:
         feats: (V, Cin).
@@ -156,16 +193,27 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
         weights: (n_off, Cin, Cout).
         valid: (V,) bool.
     """
-    cout = weights.shape[2]
-    out0 = jnp.zeros((feats.shape[0], cout), feats.dtype)
+    v = feats.shape[0]
+    n_off, cin, cout = weights.shape
+    k_dim = n_off * cin
+    chunk = max(256, min(v, 1 << max(8, (target_elems // max(k_dim, 1))
+                                     .bit_length() - 1)))
+    n_chunks = -(-v // chunk)
+    v_pad = n_chunks * chunk
+    nbr_p = jnp.concatenate(
+        [nbr, jnp.full((v_pad - v, n_off), -1, jnp.int32)], axis=0) \
+        if v_pad != v else nbr
+    wmat = weights.reshape(k_dim, cout).astype(feats.dtype)
 
-    def body(acc, xs):
-        nbr_o, w_o = xs
-        g = _gather_rows(feats, nbr_o)
-        return acc + jnp.dot(g, w_o, preferred_element_type=acc.dtype), None
+    def body(_, chunk_nbr):
+        g = _gather_rows(feats, chunk_nbr.reshape(-1))
+        g = g.reshape(chunk, k_dim)
+        o = jnp.dot(g, wmat, preferred_element_type=jnp.float32)
+        return None, o.astype(feats.dtype)
 
-    out, _ = jax.lax.scan(body, out0,
-                          (nbr.T, weights.astype(feats.dtype)))
+    _, outs = jax.lax.scan(body, None,
+                           nbr_p.reshape(n_chunks, chunk, n_off))
+    out = outs.reshape(v_pad, cout)[:v]
     return jnp.where(valid[:, None], out, 0.0)
 
 

@@ -57,15 +57,18 @@ def voxelize(batch_idx: jnp.ndarray,
     ijk = jnp.maximum(ijk, 0)
     coords = jnp.concatenate([batch_idx[:, None].astype(jnp.int32), ijk],
                              axis=1)
-    hi, lo = K.pack_coords(coords, valid)
+    key = K.pack_coords_u32(coords, valid)
     point_idx = jnp.arange(n, dtype=jnp.int32)
 
-    h = build_hash(hi, lo, point_idx, valid, capacity=min(v_cap, n))
-    winner_pt = lookup_hash(h, hi, lo, valid)          # (N,) point idx
+    h = build_hash(key, point_idx, valid, capacity=min(v_cap, n))
+    winner_pt = lookup_hash(h, key, valid)             # (N,) point idx
     is_winner = (winner_pt == point_idx) & valid
     vid_at_point = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
     num_voxels = jnp.sum(is_winner.astype(jnp.int32))
-    overflow = h.overflow | (num_voxels > v_cap)
+    # out-of-range coordinates (key == sentinel) would be silently dropped;
+    # surface them through the overflow flag
+    out_of_range = jnp.any(valid & (key == K.U32_SENTINEL))
+    overflow = h.overflow | (num_voxels > v_cap) | out_of_range
 
     # inverse mapping: point -> voxel id of its winner
     inv = jnp.where(

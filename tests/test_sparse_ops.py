@@ -34,33 +34,38 @@ class TestHash:
     def test_insert_lookup_roundtrip(self):
         coords = np.unique(_rand_coords(3000, extent=64, batch=4, seed=2), axis=0)
         n = coords.shape[0]
-        hi, lo = K.pack_coords(jnp.asarray(coords), jnp.ones(n, bool))
+        key = K.pack_coords_u32(jnp.asarray(coords), jnp.ones(n, bool))
         vals = jnp.arange(n, dtype=jnp.int32) * 3
-        h = build_hash(hi, lo, vals, jnp.ones(n, bool), capacity=n)
+        h = build_hash(key, vals, jnp.ones(n, bool), capacity=n)
         assert not bool(h.overflow)
-        got = lookup_hash(h, hi, lo)
+        got = lookup_hash(h, key)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(vals))
 
     def test_lookup_missing_and_invalid(self):
         coords = jnp.asarray([[0, 1, 1, 1], [0, 2, 2, 2]], jnp.int32)
-        hi, lo = K.pack_coords(coords, jnp.ones(2, bool))
-        h = build_hash(hi, lo, jnp.asarray([5, 7], jnp.int32),
+        key = K.pack_coords_u32(coords, jnp.ones(2, bool))
+        h = build_hash(key, jnp.asarray([5, 7], jnp.int32),
                        jnp.ones(2, bool), capacity=2)
         q = jnp.asarray([[0, 1, 1, 1], [0, 9, 9, 9]], jnp.int32)
-        q_hi, q_lo = K.pack_coords(q, jnp.ones(2, bool))
-        res = np.asarray(lookup_hash(h, q_hi, q_lo))
+        q_key = K.pack_coords_u32(q, jnp.ones(2, bool))
+        res = np.asarray(lookup_hash(h, q_key))
         assert res[0] == 5 and res[1] == -1
         # invalid queries always miss
-        res2 = np.asarray(lookup_hash(h, q_hi, q_lo, jnp.zeros(2, bool)))
+        res2 = np.asarray(lookup_hash(h, q_key, jnp.zeros(2, bool)))
         assert (res2 == -1).all()
 
     def test_duplicate_keys_deterministic(self):
         coords = jnp.asarray([[0, 1, 1, 1]] * 5, jnp.int32)
-        hi, lo = K.pack_coords(coords, jnp.ones(5, bool))
-        h = build_hash(hi, lo, jnp.arange(5, dtype=jnp.int32),
+        key = K.pack_coords_u32(coords, jnp.ones(5, bool))
+        h = build_hash(key, jnp.arange(5, dtype=jnp.int32),
                        jnp.ones(5, bool), capacity=5)
-        got = int(np.asarray(lookup_hash(h, hi[:1], lo[:1]))[0])
+        got = int(np.asarray(lookup_hash(h, key[:1]))[0])
         assert got == 0  # smallest index wins
+
+    def test_out_of_range_coords_sentinel(self):
+        coords = jnp.asarray([[0, 1, 1, 1], [0, 5000, 1, 1]], jnp.int32)
+        key = K.pack_coords_u32(coords, jnp.ones(2, bool))
+        assert int(np.asarray(key)[1]) == int(np.asarray(K.U32_SENTINEL))
 
 
 class TestVoxelize:
