@@ -26,8 +26,8 @@ from segdino3d_tpu.registry import BACKBONES
 class UNetPlan(NamedTuple):
     """Coordinate pyramid + neighbor tables for one U-Net forward."""
     levels: Tuple[SC.Level, ...]
-    subm_nbr: Tuple[jnp.ndarray, ...]   # per level: (V_l, 27)
-    stem_nbr: Optional[jnp.ndarray]     # level 0: (V_0, k^3) for the stem conv
+    subm_nbr: Tuple[jnp.ndarray, ...]   # per level: (27, V_l) offset-major
+    stem_nbr: Optional[jnp.ndarray]     # level 0: (k^3, V_0) for the stem conv
 
 
 def build_unet_plan(grid: VoxelGrid, num_levels: int = 5,
@@ -141,7 +141,7 @@ class Res16UNet34C(nn.Module):
         bn = lambda name: MaskedBatchNorm(momentum=self.bn_mom, name=name)
 
         # stem (pixel_dist 1)
-        stem_vol = plan.stem_nbr.shape[1]
+        stem_vol = plan.stem_nbr.shape[0]
         out = SubMConv(self.INIT_DIM, kernel_volume=stem_vol,
                        name="conv0p1s1")(feats, plan.stem_nbr, valids[0])
         out = bn("bn0")(out, valids[0], use_running_average=not train)

@@ -47,8 +47,14 @@ def pack_coords_u32(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     callers see them as absent neighbors / dropped voxels and the voxelizer
     raises its overflow flag.
     """
-    b = coords[:, 0]
-    x, y, z = coords[:, 1], coords[:, 2], coords[:, 3]
+    # transpose once: column extraction from a row-major (N, 4) array
+    # otherwise lowers to strided accesses with pathological TPU layouts
+    bxyz = coords.T
+    return pack_columns_u32(bxyz[0], bxyz[1], bxyz[2], bxyz[3], valid)
+
+
+def pack_columns_u32(b, x, y, z, valid) -> jnp.ndarray:
+    """SoA variant of :func:`pack_coords_u32` (hot path)."""
     in_range = (
         (b >= 0) & (b < (1 << U32_B_BITS))
         & (x >= 0) & (x < (1 << U32_X_BITS))
@@ -62,6 +68,34 @@ def pack_coords_u32(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     # the all-ones coordinate would alias the sentinel; treat it as invalid
     return jnp.where(valid & in_range & (key != U32_SENTINEL),
                      key, U32_SENTINEL)
+
+
+def key_delta_u32(dx: int, dy: int, dz: int) -> int:
+    """The uint32 increment that shifts a packed key by (dx, dy, dz)
+    (two's-complement wraparound; field under/overflow must be guarded by
+    the caller via ``neighbor_wrap_masks``)."""
+    d = (dx << (U32_Y_BITS + U32_Z_BITS)) + (dy << U32_Z_BITS) + dz
+    return d & 0xFFFFFFFF
+
+
+def neighbor_wrap_masks(coords_T: jnp.ndarray, max_delta: int):
+    """Per-dimension border masks for key-delta neighbor queries.
+
+    Args:
+        coords_T: (4, N) int32 SoA coordinates.
+        max_delta: largest |offset| used (1 for k3, 2 for k5).
+
+    Returns dict (dim, delta) -> (N,) bool 'would wrap' where dim in
+    {1, 2, 3} (x, y, z) and delta in +-1..+-max_delta.
+    """
+    lims = {1: 1 << U32_X_BITS, 2: 1 << U32_Y_BITS, 3: 1 << U32_Z_BITS}
+    masks = {}
+    for dim in (1, 2, 3):
+        c = coords_T[dim]
+        for m in range(1, max_delta + 1):
+            masks[(dim, -m)] = c < m
+            masks[(dim, m)] = c >= lims[dim] - m
+    return masks
 
 
 def pack_coords(coords: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

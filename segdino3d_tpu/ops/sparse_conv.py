@@ -47,7 +47,8 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
 
 class Level(NamedTuple):
     """One stride level of the coordinate pyramid (a pytree)."""
-    coords: jnp.ndarray      # (V, 4) int32 in units of this level's stride
+    coords_T: jnp.ndarray    # (4, V) int32 SoA in units of this level's stride
+    key: jnp.ndarray         # (V,) uint32 packed keys
     valid: jnp.ndarray       # (V,) bool
     hash: CoordHash          # key -> voxel id at this level
     num_voxels: jnp.ndarray  # () int32
@@ -55,63 +56,71 @@ class Level(NamedTuple):
     parent_idx: Optional[jnp.ndarray]   # (V,) int32 index into coarser level
     parent_kpos: Optional[jnp.ndarray]  # (V,) int32 in [0, 8): offset slot in the 2x2x2 block
 
+    @property
+    def coords(self) -> jnp.ndarray:
+        return self.coords_T.T
+
 
 def _neighbor_table(level: "Level", offsets: np.ndarray,
                     symmetric: bool = True) -> jnp.ndarray:
-    """(V, n_off) int32 indices of ``coords + offset`` at the level,
-    -1 where absent.
+    """(n_off, V) int32 indices of ``coords + offset`` at the level
+    (offset-major layout), -1 where absent.
 
-    With ``symmetric`` (odd centered kernels), only the first half of the
-    offsets is looked up; the mirrored half is reconstructed by scatter
-    (``nbr[j, mirror(o)] = i`` whenever ``nbr[i, o] = j``), halving the
-    gather rounds. In ``itertools.product`` order ``offsets[n-1-o] ==
-    -offsets[o]``.
+    Query keys are built by *uint32 key deltas* (no (V, K, 4) coordinate
+    materialization); bit-field wraparound at the packing borders is guarded
+    with precomputed per-dimension masks.  With ``symmetric`` (odd centered
+    kernels), only the first half of the offsets is looked up; the mirrored
+    half is reconstructed by scatter (``nbr[mirror(o), j] = i`` whenever
+    ``nbr[o, i] = j``), halving the gather rounds.  In ``itertools.product``
+    order ``offsets[n-1-o] == -offsets[o]``.
     """
     n_off = len(offsets)
-    coords, valid = level.coords, level.valid
-    v = coords.shape[0]
+    v = level.key.shape[0]
     center = n_off // 2
     use_sym = symmetric and n_off % 2 == 1 and np.array_equal(
         offsets[::-1], -offsets)
+    max_d = int(np.abs(offsets).max())
+    wrap = K.neighbor_wrap_masks(level.coords_T, max_d)
+    base_invalid = ~level.valid | (level.key == K.U32_SENTINEL)
 
-    def lookup(offs_subset):
-        offs = jnp.asarray(offs_subset)
-        q = coords[:, None, :].astype(jnp.int32) \
-            + jnp.pad(offs, ((0, 0), (1, 0)))[None, :, :]
-        q_flat = q.reshape(-1, 4)
-        key = K.pack_coords_u32(
-            q_flat, jnp.repeat(valid, offs.shape[0]))
-        idx = lookup_hash(level.hash, key)
-        return idx.reshape(v, offs.shape[0])
+    def query_keys(offs_subset):
+        cols = []
+        for dx, dy, dz in offs_subset:
+            bad = base_invalid
+            for dim, d in ((1, int(dx)), (2, int(dy)), (3, int(dz))):
+                if d != 0:
+                    bad = bad | wrap[(dim, d)]
+            qk = level.key + jnp.uint32(K.key_delta_u32(int(dx), int(dy), int(dz)))
+            cols.append(jnp.where(bad, K.U32_SENTINEL, qk))
+        return jnp.stack(cols, 0)                     # (K', V)
 
     if not use_sym:
-        return lookup(offsets)
+        return lookup_hash(level.hash, query_keys(offsets))
 
-    first = lookup(offsets[:center])              # (V, center)
-    self_idx = jnp.where(valid, jnp.arange(v, dtype=jnp.int32), -1)
-    # mirror half via transpose-scatter
-    mirror = jnp.full((v + 1, center), -1, jnp.int32)
-    src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[:, None],
-                           (v, center))
+    first = lookup_hash(level.hash, query_keys(offsets[:center]))  # (c, V)
+    self_idx = jnp.where(level.valid, jnp.arange(v, dtype=jnp.int32), -1)
+    # mirror half via transpose-scatter: nbr[o, i] = j  =>  mirror[o, j] = i
+    rows = jnp.broadcast_to(jnp.arange(center, dtype=jnp.int32)[:, None],
+                            (center, v))
+    src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :],
+                           (center, v))
     tgt = jnp.where(first >= 0, first, v)
-    cols = jnp.broadcast_to(jnp.arange(center, dtype=jnp.int32)[None, :],
-                            (v, center))
-    mirror = mirror.at[tgt, cols].set(src, mode="drop")[:v]
-    # column o of `mirror` holds, for each voxel j, the i with
-    # coords_i + offsets[o] == coords_j, i.e. j's neighbor at -offsets[o]
-    # = offsets[n-1-o]; flip columns to line up with offsets[center+1:]
-    second = mirror[:, ::-1]
-    return jnp.concatenate([first, self_idx[:, None], second], axis=1)
+    mirror = jnp.full((center, v + 1), -1, jnp.int32).at[rows, tgt].set(
+        src, mode="drop")[:, :v]
+    # row o of `mirror` = neighbors at -offsets[o] = offsets[n-1-o];
+    # flip rows to line up with offsets[center+1:]
+    second = mirror[::-1]
+    return jnp.concatenate([first, self_idx[None, :], second], axis=0)
 
 
 def _downsample(level: "Level", v_cap: int):
     """Unique(floor(coords/2)) -> coarser Level + parent links (hash-based,
     first-occurrence voxel order, no sort)."""
-    n = level.coords.shape[0]
-    fine_coords = level.coords
-    coarse_xyz = jnp.where(level.valid[:, None], fine_coords[:, 1:] >> 1, 0)
-    coarse_per_fine = jnp.concatenate([fine_coords[:, :1], coarse_xyz], axis=1)
-    key = K.pack_coords_u32(coarse_per_fine, level.valid)
+    n = level.key.shape[0]
+    b, x, y, z = (level.coords_T[0], level.coords_T[1],
+                  level.coords_T[2], level.coords_T[3])
+    cx, cy, cz = x >> 1, y >> 1, z >> 1
+    key = K.pack_columns_u32(b, cx, cy, cz, level.valid)
     fine_idx = jnp.arange(n, dtype=jnp.int32)
 
     h = build_hash(key, fine_idx, level.valid, capacity=min(v_cap, n))
@@ -122,21 +131,24 @@ def _downsample(level: "Level", v_cap: int):
 
     parent = jnp.where(
         winner >= 0, vid[jnp.clip(winner, 0, n - 1)], -1).astype(jnp.int32)
-    kpos_xyz = fine_coords[:, 1:] & 1
-    kpos = ((kpos_xyz[:, 0] << 2) | (kpos_xyz[:, 1] << 1)
-            | kpos_xyz[:, 2]).astype(jnp.int32)
+    kpos = (((x & 1) << 2) | ((y & 1) << 1) | (z & 1)).astype(jnp.int32)
 
     upd = jnp.where(is_winner & (vid < v_cap), vid, v_cap)
-    coarse_coords = jnp.zeros((v_cap, 4), jnp.int32).at[upd].set(
-        coarse_per_fine, mode="drop")
+
+    def scat(col, fill=0):
+        return jnp.full((v_cap,), fill, col.dtype).at[upd].set(col, mode="drop")
+
+    coarse_coords_T = jnp.stack([scat(b), scat(cx), scat(cy), scat(cz)])
+    coarse_key = scat(key, fill=K.U32_SENTINEL)
     c_valid = jnp.arange(v_cap, dtype=jnp.int32) < num_coarse
 
     remapped = jnp.where(
         h.t_val >= 0, vid[jnp.clip(h.t_val, 0, n - 1)], -1).astype(jnp.int32)
     h = h._replace(t_val=remapped)
 
-    coarse = Level(coords=coarse_coords, valid=c_valid, hash=h,
-                   num_voxels=num_coarse, parent_idx=None, parent_kpos=None)
+    coarse = Level(coords_T=coarse_coords_T, key=coarse_key, valid=c_valid,
+                   hash=h, num_voxels=num_coarse,
+                   parent_idx=None, parent_kpos=None)
     return coarse, parent, kpos
 
 
@@ -148,10 +160,10 @@ class ConvPlan(NamedTuple):
 def build_conv_plan(grid: VoxelGrid, num_levels: int,
                     level_caps: Optional[Sequence[int]] = None) -> ConvPlan:
     """Build the stride-1..2^(L-1) coordinate pyramid from level-0 voxels."""
-    v0 = grid.coords.shape[0]
+    v0 = grid.key.shape[0]
     caps = list(level_caps) if level_caps is not None else [v0] * num_levels
-    lvl0 = Level(coords=grid.coords, valid=grid.valid, hash=grid.hash,
-                 num_voxels=grid.num_voxels,
+    lvl0 = Level(coords_T=grid.coords_T, key=grid.key, valid=grid.valid,
+                 hash=grid.hash, num_voxels=grid.num_voxels,
                  parent_idx=None, parent_kpos=None)
     levels = [lvl0]
     for li in range(1, num_levels):
@@ -189,7 +201,7 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
 
     Args:
         feats: (V, Cin).
-        nbr: (V, n_off) neighbor table for this level & kernel size.
+        nbr: (n_off, V) offset-major neighbor table for this level & kernel.
         weights: (n_off, Cin, Cout).
         valid: (V,) bool.
     """
@@ -201,18 +213,19 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
     n_chunks = -(-v // chunk)
     v_pad = n_chunks * chunk
     nbr_p = jnp.concatenate(
-        [nbr, jnp.full((v_pad - v, n_off), -1, jnp.int32)], axis=0) \
+        [nbr, jnp.full((n_off, v_pad - v), -1, jnp.int32)], axis=1) \
         if v_pad != v else nbr
     wmat = weights.reshape(k_dim, cout).astype(feats.dtype)
 
     def body(_, chunk_nbr):
-        g = _gather_rows(feats, chunk_nbr.reshape(-1))
+        # chunk_nbr: (n_off, chunk) -> per-voxel-contiguous index order
+        g = _gather_rows(feats, chunk_nbr.T.reshape(-1))
         g = g.reshape(chunk, k_dim)
         o = jnp.dot(g, wmat, preferred_element_type=jnp.float32)
         return None, o.astype(feats.dtype)
 
-    _, outs = jax.lax.scan(body, None,
-                           nbr_p.reshape(n_chunks, chunk, n_off))
+    xs = nbr_p.reshape(n_off, n_chunks, chunk).transpose(1, 0, 2)
+    _, outs = jax.lax.scan(body, None, xs)
     out = outs.reshape(v_pad, cout)[:v]
     return jnp.where(valid[:, None], out, 0.0)
 

@@ -12,6 +12,10 @@ Deduplication uses the multi-table coordinate hash (``ops.hashing``) — no
 sort: one insert pass over the points plus one lookup round, all O(1)-depth
 batched gathers/scatters.  Voxel ids are assigned in first-occurrence
 (smallest point index) order, deterministically.
+
+Layout note: coordinates are carried SoA as ``coords_T`` (4, V) — column
+extraction from row-major (N, 4) arrays lowers to strided TPU accesses with
+pathological layouts (profiled at 20-30x slowdown).
 """
 from __future__ import annotations
 
@@ -26,13 +30,18 @@ from segdino3d_tpu.ops.hashing import CoordHash, build_hash, lookup_hash
 
 class VoxelGrid(NamedTuple):
     """A batch-flattened sparse voxel tensor."""
-    coords: jnp.ndarray        # (V, 4) int32 (b, x, y, z); invalid rows zero
+    coords_T: jnp.ndarray      # (4, V) int32 (b, x, y, z) SoA; invalid zero
+    key: jnp.ndarray           # (V,) uint32 packed key (sentinel if invalid)
     feats: jnp.ndarray         # (V, C) float
     valid: jnp.ndarray         # (V,) bool
     hash: CoordHash            # coordinate key -> voxel id
     num_voxels: jnp.ndarray    # () int32 (dynamic, <= V)
     inverse_mapping: jnp.ndarray  # (N,) int32 point -> voxel id (-1 invalid)
     overflow: jnp.ndarray      # () bool: capacity exceeded
+
+    @property
+    def coords(self) -> jnp.ndarray:  # (V, 4) AoS view for tests/debug
+        return self.coords_T.T
 
 
 def voxelize(batch_idx: jnp.ndarray,
@@ -53,11 +62,10 @@ def voxelize(batch_idx: jnp.ndarray,
     n = coords_f.shape[0]
     v_cap = num_voxels_static or n
 
-    ijk = jnp.floor(coords_f).astype(jnp.int32)
-    ijk = jnp.maximum(ijk, 0)
-    coords = jnp.concatenate([batch_idx[:, None].astype(jnp.int32), ijk],
-                             axis=1)
-    key = K.pack_coords_u32(coords, valid)
+    ijk_T = jnp.maximum(jnp.floor(coords_f).astype(jnp.int32), 0).T  # (3, N)
+    b = batch_idx.astype(jnp.int32)
+    x, y, z = ijk_T[0], ijk_T[1], ijk_T[2]
+    key = K.pack_columns_u32(b, x, y, z, valid)
     point_idx = jnp.arange(n, dtype=jnp.int32)
 
     h = build_hash(key, point_idx, valid, capacity=min(v_cap, n))
@@ -65,8 +73,6 @@ def voxelize(batch_idx: jnp.ndarray,
     is_winner = (winner_pt == point_idx) & valid
     vid_at_point = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
     num_voxels = jnp.sum(is_winner.astype(jnp.int32))
-    # out-of-range coordinates (key == sentinel) would be silently dropped;
-    # surface them through the overflow flag
     out_of_range = jnp.any(valid & (key == K.U32_SENTINEL))
     overflow = h.overflow | (num_voxels > v_cap) | out_of_range
 
@@ -75,10 +81,12 @@ def voxelize(batch_idx: jnp.ndarray,
         winner_pt >= 0,
         vid_at_point[jnp.clip(winner_pt, 0, n - 1)], -1).astype(jnp.int32)
 
-    # voxel arrays: scatter winners (unique target slots)
+    # voxel arrays: scatter winners (unique target slots), SoA columns
     upd = jnp.where(is_winner & (vid_at_point < v_cap), vid_at_point, v_cap)
-    vox_coords = jnp.zeros((v_cap, 4), jnp.int32).at[upd].set(
-        coords, mode="drop")
+    def scat(col, fill=0):
+        return jnp.full((v_cap,), fill, col.dtype).at[upd].set(col, mode="drop")
+    vox_coords_T = jnp.stack([scat(b), scat(x), scat(y), scat(z)])
+    vox_key = scat(key, fill=K.U32_SENTINEL)
     vox_valid = jnp.arange(v_cap, dtype=jnp.int32) < num_voxels
 
     # remap hash values: winner point idx -> voxel id (for later lookups)
@@ -99,9 +107,9 @@ def voxelize(batch_idx: jnp.ndarray,
     else:
         vox_feats = jnp.zeros((v_cap, 0), jnp.float32)
 
-    return VoxelGrid(coords=vox_coords, feats=vox_feats, valid=vox_valid,
-                     hash=h, num_voxels=num_voxels, inverse_mapping=inv,
-                     overflow=overflow)
+    return VoxelGrid(coords_T=vox_coords_T, key=vox_key, feats=vox_feats,
+                     valid=vox_valid, hash=h, num_voxels=num_voxels,
+                     inverse_mapping=inv, overflow=overflow)
 
 
 def devoxelize(vox_feats: jnp.ndarray, inverse_mapping: jnp.ndarray,

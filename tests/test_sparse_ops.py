@@ -165,7 +165,7 @@ class TestConvPlan:
         offsets = SC.kernel_offsets(3)
         nbr = SC._neighbor_table(plan_level0(grid), offsets)
         center = 13
-        np.testing.assert_array_equal(np.asarray(nbr[:, center]), np.arange(n))
+        np.testing.assert_array_equal(np.asarray(nbr[center]), np.arange(n))
 
         rng = np.random.RandomState(0)
         feats = jnp.asarray(rng.randn(n, 4).astype(np.float32))
@@ -238,6 +238,6 @@ class TestConvPlan:
 
 
 def plan_level0(grid):
-    return SC.Level(coords=grid.coords, valid=grid.valid, hash=grid.hash,
-                    num_voxels=grid.num_voxels, parent_idx=None,
-                    parent_kpos=None)
+    return SC.Level(coords_T=grid.coords_T, key=grid.key, valid=grid.valid,
+                    hash=grid.hash, num_voxels=grid.num_voxels,
+                    parent_idx=None, parent_kpos=None)
