@@ -1,0 +1,171 @@
+// Host-side sparse-conv plan builder: voxel dedup, kernel maps, pyramid.
+//
+// The CPU counterpart of spconv/MinkowskiEngine's GPU coordinate managers
+// (reference deps N1/N2, SURVEY.md 搂2.2): builds everything the TPU U-Net
+// needs as *static-shaped index arrays* — point->voxel inverse mapping,
+// per-level neighbor tables (gather indices), and 2x-downsample parent
+// links — so the device never touches a hash table.  TPU gathers are
+// memory-latency bound (~140M elem/s measured on v5e through XLA), while a
+// CPU open-addressing hash map sustains >50M lookups/s/core; plan building
+// overlaps with device compute in the input pipeline.
+//
+// All functions are C ABI for ctypes.  Coordinates are int32 (b, x, y, z),
+// non-negative, AoS rows.  Keys pack into int64.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+inline int64_t pack(int32_t b, int32_t x, int32_t y, int32_t z) {
+  return (static_cast<int64_t>(b) << 48) | (static_cast<int64_t>(x) << 32) |
+         (static_cast<int64_t>(y) << 16) | static_cast<int64_t>(z);
+}
+
+// open-addressing hash map int64 -> int32, linear probing
+struct HashMap {
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask;
+
+  explicit HashMap(size_t capacity) {
+    size_t size = 16;
+    while (size < capacity * 2) size <<= 1;
+    keys.assign(size, -1);
+    vals.assign(size, -1);
+    mask = size - 1;
+  }
+  static inline uint64_t mix(int64_t k) {
+    uint64_t x = static_cast<uint64_t>(k) * 0x9E3779B97F4A7C15ull;
+    x ^= x >> 29;
+    x *= 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 32;
+    return x;
+  }
+  // returns existing value if present, else inserts and returns -1
+  inline int32_t insert(int64_t k, int32_t v) {
+    uint64_t slot = mix(k) & mask;
+    for (;;) {
+      if (keys[slot] == -1) {
+        keys[slot] = k;
+        vals[slot] = v;
+        return -1;
+      }
+      if (keys[slot] == k) return vals[slot];
+      slot = (slot + 1) & mask;
+    }
+  }
+  inline int32_t find(int64_t k) const {
+    uint64_t slot = mix(k) & mask;
+    for (;;) {
+      if (keys[slot] == -1) return -1;
+      if (keys[slot] == k) return vals[slot];
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Deduplicate voxel coordinates (first-occurrence order).
+// coords: (n, 4) int32; valid: (n) uint8; out_inverse: (n) int32;
+// out_vox_coords: (cap, 4) int32. Returns the voxel count (may exceed cap —
+// caller must check; coords beyond cap are not written).
+int64_t voxel_dedup(const int32_t* coords, const uint8_t* valid, int64_t n,
+                    int32_t* out_inverse, int32_t* out_vox_coords,
+                    int64_t cap) {
+  HashMap map(static_cast<size_t>(std::min(n, cap * 2) + 16));
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) {
+      out_inverse[i] = -1;
+      continue;
+    }
+    const int32_t* c = coords + 4 * i;
+    const int64_t k = pack(c[0], c[1], c[2], c[3]);
+    int32_t existing = map.insert(k, static_cast<int32_t>(count));
+    if (existing < 0) {
+      if (count < cap) std::memcpy(out_vox_coords + 4 * count, c, 16);
+      out_inverse[i] = static_cast<int32_t>(count);
+      ++count;
+    } else {
+      out_inverse[i] = existing;
+    }
+  }
+  return count;
+}
+
+// Neighbor table: for each of v voxels and n_off offsets, the index of the
+// voxel at coords + offset, or -1.  out is offset-major (n_off, v_cap).
+// Only the first v_valid rows are queried; the rest get -1.
+void neighbor_table(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
+                    const int32_t* offsets, int32_t n_off, int32_t* out) {
+  HashMap map(static_cast<size_t>(v_valid + 16));
+  for (int64_t i = 0; i < v_valid; ++i) {
+    const int32_t* c = vox_coords + 4 * i;
+    map.insert(pack(c[0], c[1], c[2], c[3]), static_cast<int32_t>(i));
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int32_t o = 0; o < n_off; ++o) {
+    const int32_t dx = offsets[3 * o], dy = offsets[3 * o + 1],
+                  dz = offsets[3 * o + 2];
+    int32_t* row = out + static_cast<int64_t>(o) * v_cap;
+    for (int64_t i = 0; i < v_valid; ++i) {
+      const int32_t* c = vox_coords + 4 * i;
+      const int32_t x = c[1] + dx, y = c[2] + dy, z = c[3] + dz;
+      row[i] = (x < 0 || y < 0 || z < 0)
+                   ? -1
+                   : map.find(pack(c[0], x, y, z));
+    }
+    for (int64_t i = v_valid; i < v_cap; ++i) row[i] = -1;
+  }
+}
+
+// 2x downsample: unique(floor(xyz/2)) in first-occurrence order.
+// Writes parent index + kernel position per fine voxel and the coarse
+// coordinates. Returns the coarse voxel count (check against coarse_cap).
+int64_t downsample(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
+                   int32_t* out_parent, int32_t* out_kpos,
+                   int32_t* out_coarse_coords, int64_t coarse_cap) {
+  HashMap map(static_cast<size_t>(v_valid + 16));
+  int64_t count = 0;
+  for (int64_t i = 0; i < v_valid; ++i) {
+    const int32_t* c = vox_coords + 4 * i;
+    const int32_t cx = c[1] >> 1, cy = c[2] >> 1, cz = c[3] >> 1;
+    const int64_t k = pack(c[0], cx, cy, cz);
+    int32_t existing = map.insert(k, static_cast<int32_t>(count));
+    int32_t parent;
+    if (existing < 0) {
+      if (count < coarse_cap) {
+        int32_t* cc = out_coarse_coords + 4 * count;
+        cc[0] = c[0];
+        cc[1] = cx;
+        cc[2] = cy;
+        cc[3] = cz;
+      }
+      parent = static_cast<int32_t>(count);
+      ++count;
+    } else {
+      parent = existing;
+    }
+    out_parent[i] = parent;
+    out_kpos[i] = ((c[1] & 1) << 2) | ((c[2] & 1) << 1) | (c[3] & 1);
+  }
+  for (int64_t i = v_valid; i < v_cap; ++i) {
+    out_parent[i] = -1;
+    out_kpos[i] = 0;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -139,6 +139,43 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
     )
 
 
+def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
+                     *, voxel_size: float, voxel_cap: int,
+                     level_cap_ratios=(1.0, 0.5, 0.3, 0.2, 0.15),
+                     num_levels: int = 5, stem_kernel: int = 5) -> SceneBatch:
+    """Build the sparse-conv plan on the host (C++) and attach it.
+
+    Replicates the backbone wrapper's coordinate policy exactly: elastic
+    coords (already voxel units) when present, else xyz/voxel_size, then a
+    per-scene min-shift rounded down to a multiple of 16.
+    """
+    from segdino3d_tpu.ops.host_plan import build_host_plan, host_plan_to_device
+
+    b, p = batch.points.shape[:2]
+    coords = np.zeros((b, p, 3), np.float32)
+    valid = np.asarray(batch.point_valid)
+    for bi, r in enumerate(records):
+        n = r["points"].shape[0]
+        if r.get("elastic_coords") is not None:
+            c = np.asarray(r["elastic_coords"], np.float32)
+        else:
+            c = np.asarray(r["points"][:, :3], np.float32) / voxel_size
+        mins = np.floor(c.min(0) / 16.0) * 16.0
+        coords[bi, :n] = c - mins
+
+    caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
+            for r in level_cap_ratios[:num_levels]]
+    caps[0] = voxel_cap
+    bidx = np.repeat(np.arange(b, dtype=np.int32), p)
+    plan = build_host_plan(coords.reshape(-1, 3), bidx, valid.reshape(-1),
+                           caps, num_levels=num_levels,
+                           stem_kernel=stem_kernel)
+    if plan.overflow:
+        raise ValueError("host plan capacity overflow — raise voxel caps")
+    uplan, inverse = host_plan_to_device(plan)
+    return batch.replace(unet_plan=uplan, plan_inverse_mapping=inverse)
+
+
 def eval_annotation(record: Dict, bg_class_id: int = 200) -> Dict[str, np.ndarray]:
     """Per-point GT maps for the evaluator (reference builds these from
     target masks in ``evaluate_3d.py:48-56``)."""

@@ -44,6 +44,10 @@ class SceneBatch:
     sp_sem_masks: Optional[jnp.ndarray] = None     # (B, C_sem+1, S) bool
     # bookkeeping
     scene_idx: Optional[jnp.ndarray] = None        # (B,) int32
+    # host-built sparse-conv plan (ops.host_plan): when present, the
+    # backbone skips on-device voxelization/kernel-map building entirely
+    unet_plan: Optional[object] = None             # UNetPlan pytree
+    plan_inverse_mapping: Optional[jnp.ndarray] = None  # (B*P,) int32
 
     @property
     def batch_size(self) -> int:
@@ -65,3 +69,4 @@ class BackboneOutput:
     sp_pos: jnp.ndarray              # (B, S, 3) centroids (with elastic)
     sp_pos_wo_elastic: jnp.ndarray   # (B, S, 3) centroids (raw coords)
     sp_valid: jnp.ndarray            # (B, S) bool
+    overflow: Optional[jnp.ndarray] = None  # () bool: any voxel/level cap hit

@@ -93,19 +93,36 @@ class SparseBackboneWrapper(nn.Module):
                 [feats, batch.points_2dfeats.reshape(n, -1)], axis=-1)
         feats = feats.astype(dtype)
 
-        grid = voxelize(bidx, coords_shifted, feats, pvalid,
-                        num_voxels_static=self.voxel_cap)
-        level_caps = self.level_caps
-        if level_caps is None and self.level_cap_ratios is not None:
-            v0 = grid.coords.shape[0]
-            level_caps = [max(256, -(-int(v0 * r) // 256) * 256)
-                          for r in self.level_cap_ratios]
-            level_caps[0] = v0
-        plan = build_unet_plan(grid, num_levels=5,
-                               stem_kernel=self.stem_kernel,
-                               level_caps=level_caps)
-        vox_out = self.unet(grid.feats, plan, train)
-        pt_feats = devoxelize(vox_out, grid.inverse_mapping, pvalid)
+        overflow = jnp.asarray(False)
+        if batch.unet_plan is not None:
+            # host-built plan: the C++ builder already resolved the voxel
+            # dedup + kernel maps (overflow checked host-side); only
+            # feature averaging runs on device
+            plan = batch.unet_plan
+            inverse = batch.plan_inverse_mapping
+            v0 = plan.subm_nbr[0].shape[1]
+            vox_feats = scatter.segment_mean(
+                feats, jnp.where(inverse >= 0, inverse, v0), v0, pvalid)
+            vox_feats = jnp.where(plan.levels[0].valid[:, None], vox_feats, 0.0)
+        else:
+            grid = voxelize(bidx, coords_shifted, feats, pvalid,
+                            num_voxels_static=self.voxel_cap)
+            level_caps = self.level_caps
+            if level_caps is None and self.level_cap_ratios is not None:
+                v0 = grid.key.shape[0]
+                level_caps = [max(256, -(-int(v0 * r) // 256) * 256)
+                              for r in self.level_cap_ratios]
+                level_caps[0] = v0
+            plan = build_unet_plan(grid, num_levels=5,
+                                   stem_kernel=self.stem_kernel,
+                                   level_caps=level_caps)
+            vox_feats = grid.feats
+            inverse = grid.inverse_mapping
+            overflow = grid.overflow
+            for li, l in enumerate(plan.levels):
+                overflow = overflow | (l.num_voxels > l.valid.shape[0])
+        vox_out = self.unet(vox_feats, plan, train)
+        pt_feats = devoxelize(vox_out, inverse, pvalid)
 
         seg = superpoint_segment_ids(batch.superpoint_ids, s_cap)
         sp_feats = scatter.segment_mean(pt_feats, seg, b * s_cap, pvalid)
@@ -126,4 +143,5 @@ class SparseBackboneWrapper(nn.Module):
             sp_pos=jnp.where(sp_valid[..., None], sp_pos, 0.0),
             sp_pos_wo_elastic=jnp.where(sp_valid[..., None], sp_pos_wo, 0.0),
             sp_valid=sp_valid,
+            overflow=overflow,
         )

@@ -83,16 +83,26 @@ def _neighbor_table(level: "Level", offsets: np.ndarray,
     wrap = K.neighbor_wrap_masks(level.coords_T, max_d)
     base_invalid = ~level.valid | (level.key == K.U32_SENTINEL)
 
+    # vectorized query-key construction: one broadcasted add for the key
+    # deltas + one small matmul for the per-offset wrap-mask selection
+    wrap_items = sorted(wrap.keys())
+    wrap_stack = jnp.stack([wrap[k] for k in wrap_items]).astype(jnp.float32)
+
     def query_keys(offs_subset):
-        cols = []
-        for dx, dy, dz in offs_subset:
-            bad = base_invalid
+        k_sub = len(offs_subset)
+        deltas = np.array(
+            [K.key_delta_u32(int(dx), int(dy), int(dz))
+             for dx, dy, dz in offs_subset], dtype=np.uint32)
+        sel = np.zeros((k_sub, len(wrap_items)), np.float32)
+        for oi, (dx, dy, dz) in enumerate(offs_subset):
             for dim, d in ((1, int(dx)), (2, int(dy)), (3, int(dz))):
-                if d != 0:
-                    bad = bad | wrap[(dim, d)]
-            qk = level.key + jnp.uint32(K.key_delta_u32(int(dx), int(dy), int(dz)))
-            cols.append(jnp.where(bad, K.U32_SENTINEL, qk))
-        return jnp.stack(cols, 0)                     # (K', V)
+                while d != 0:  # margins 1..|d| all wrap
+                    sel[oi, wrap_items.index((dim, d))] = 1.0
+                    d -= np.sign(d)
+        qk = level.key[None, :] + jnp.asarray(deltas)[:, None]   # (K', V)
+        bad = (jnp.asarray(sel) @ wrap_stack) > 0
+        bad = bad | base_invalid[None, :]
+        return jnp.where(bad, K.U32_SENTINEL, qk)
 
     if not use_sym:
         return lookup_hash(level.hash, query_keys(offsets))
@@ -100,13 +110,14 @@ def _neighbor_table(level: "Level", offsets: np.ndarray,
     first = lookup_hash(level.hash, query_keys(offsets[:center]))  # (c, V)
     self_idx = jnp.where(level.valid, jnp.arange(v, dtype=jnp.int32), -1)
     # mirror half via transpose-scatter: nbr[o, i] = j  =>  mirror[o, j] = i
-    rows = jnp.broadcast_to(jnp.arange(center, dtype=jnp.int32)[:, None],
-                            (center, v))
+    # (flattened to a 1D scatter — 2D advanced-index scatters lower badly)
+    row_base = jnp.arange(center, dtype=jnp.int32)[:, None] * (v + 1)
     src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :],
                            (center, v))
-    tgt = jnp.where(first >= 0, first, v)
-    mirror = jnp.full((center, v + 1), -1, jnp.int32).at[rows, tgt].set(
-        src, mode="drop")[:, :v]
+    flat_tgt = jnp.where(first >= 0, row_base + first,
+                         center * (v + 1)).reshape(-1)
+    mirror = jnp.full((center * (v + 1),), -1, jnp.int32).at[flat_tgt].set(
+        src.reshape(-1), mode="drop").reshape(center, v + 1)[:, :v]
     # row o of `mirror` = neighbors at -offsets[o] = offsets[n-1-o];
     # flip rows to line up with offsets[center+1:]
     second = mirror[::-1]

@@ -1,0 +1,74 @@
+"""Host (C++) plan builder vs on-device hash engine parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segdino3d_tpu.data.collate import PadSpec, attach_host_plan, collate
+from segdino3d_tpu.data.synthetic import synthetic_scene
+from segdino3d_tpu.models.backbone.res16unet import Res16UNet34C, build_unet_plan
+from segdino3d_tpu.models.backbone.wrapper import SparseBackboneWrapper
+from segdino3d_tpu.ops import sparse_conv as SC
+from segdino3d_tpu.ops.host_plan import build_host_plan
+from segdino3d_tpu.ops.voxelize import voxelize
+
+
+def test_host_vs_device_dedup_and_maps():
+    rng = np.random.RandomState(0)
+    n = 5000
+    coords = rng.uniform(0, 40, (n, 3)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-100:] = False
+    bidx = np.zeros(n, np.int32)
+
+    host = build_host_plan(coords, bidx, valid, level_caps=[n, n, n],
+                           num_levels=3, stem_kernel=5)
+    assert not host.overflow
+
+    grid = voxelize(jnp.asarray(bidx), jnp.asarray(coords),
+                    None, jnp.asarray(valid))
+    dev_plan = SC.build_conv_plan(grid, 3)
+    k3 = SC.kernel_offsets(3)
+
+    # same voxel count & identical inverse mapping (both first-occurrence)
+    assert host.levels[0].num_voxels == int(grid.num_voxels)
+    np.testing.assert_array_equal(host.inverse_mapping,
+                                  np.asarray(grid.inverse_mapping))
+
+    # neighbor tables identical (same voxel ordering)
+    dev_nbr = np.asarray(SC._neighbor_table(dev_plan.levels[0], k3))
+    nv = host.levels[0].num_voxels
+    np.testing.assert_array_equal(host.levels[0].subm_nbr[:, :nv],
+                                  dev_nbr[:, :nv])
+    # parent links identical
+    np.testing.assert_array_equal(
+        host.levels[0].parent_idx[:nv],
+        np.asarray(dev_plan.levels[0].parent_idx)[:nv])
+    np.testing.assert_array_equal(
+        host.levels[0].parent_kpos[:nv],
+        np.asarray(dev_plan.levels[0].parent_kpos)[:nv])
+    assert host.levels[1].num_voxels == int(dev_plan.levels[1].num_voxels)
+
+
+def test_backbone_host_plan_matches_device():
+    rec = synthetic_scene(0, n_points=2000, n_superpoints=32, n_classes=10,
+                          feat_dim_2d=8, extent=3.0)
+    spec = PadSpec(2048, 32, 16, 16, 10)
+    batch = collate([rec], spec)
+
+    unet = Res16UNet34C(in_channels=3 + 8, out_channels=96,
+                        config=dict(bn_momentum=0.02, conv1_kernel_size=5))
+    bb = SparseBackboneWrapper(unet=unet, voxel_size=0.05, s_cap=32,
+                               voxel_cap=2048,
+                               level_cap_ratios=(1, 1, 1, 1, 1))
+    variables = bb.init(jax.random.PRNGKey(0), batch, False)
+    out_dev = bb.apply(variables, batch, False)
+
+    batch_hp = attach_host_plan(batch, [rec], spec, voxel_size=0.05,
+                                voxel_cap=2048,
+                                level_cap_ratios=(1, 1, 1, 1, 1))
+    out_host = bb.apply(variables, batch_hp, False)
+    np.testing.assert_allclose(np.asarray(out_dev.sp_feats),
+                               np.asarray(out_host.sp_feats),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dev.sp_pos),
+                               np.asarray(out_host.sp_pos), atol=1e-5)
