@@ -141,7 +141,7 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
 
 def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      *, voxel_size: float, voxel_cap: int,
-                     level_cap_ratios=(1.0, 0.5, 0.3, 0.2, 0.15),
+                     level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
                      num_levels: int = 5, stem_kernel: int = 5) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
 

@@ -51,7 +51,14 @@ def synthetic_scene(seed: int = 0,
         lo = start + i * per
         hi = start + (i + 1) * per if i < n_instances - 1 else n_points
         m = hi - lo
-        pts[lo:hi, :3] = ctr + rng.uniform(-0.5, 0.5, (m, 3)) * size
+        # sample on the box SURFACE (real indoor scans are 2D manifolds;
+        # keeps voxel downsample ratios realistic)
+        face = rng.randint(0, 6, m)
+        u = rng.uniform(-0.5, 0.5, (m, 3))
+        axis = face // 2
+        sign = (face % 2) * 1.0 - 0.5
+        u[np.arange(m), axis] = sign
+        pts[lo:hi, :3] = ctr + u * size
         cls = rng.randint(n_stuff, n_classes)
         sem[lo:hi] = cls
         inst[lo:hi] = i

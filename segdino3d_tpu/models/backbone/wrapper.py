@@ -48,7 +48,7 @@ class SparseBackboneWrapper(nn.Module):
     level_caps: Optional[Sequence[int]] = None
     # static per-level voxel capacities as fractions of voxel_cap; surfaces
     # shrink ~3.5x per 2x downsample, these are safe upper bounds
-    level_cap_ratios: Sequence[float] = (1.0, 0.5, 0.3, 0.2, 0.15)
+    level_cap_ratios: Sequence[float] = (1.0, 0.7, 0.35, 0.12, 0.05)
     stem_kernel: int = 5
     mode_fuse_2d_feat: str = "early_fusion"
     include_centered_xyz: bool = False  # SpConvUNet path adds xyz - mean(xyz)
