@@ -87,12 +87,15 @@ def _exec_pyfile(filename: str) -> Dict[str, Any]:
 
     tree = ast.parse(code, filename)
     base_expr = None
+    kept_body = []
     for node in tree.body:
         if isinstance(node, ast.Assign) and any(
             isinstance(t, ast.Name) and t.id == "_base_" for t in node.targets
         ):
             base_expr = ast.literal_eval(node.value)
-            break
+            continue  # drop: the injected ConfigDict must not be rebound
+        kept_body.append(node)
+    tree.body = kept_body
     if base_expr is not None:
         base_files = [base_expr] if isinstance(base_expr, str) else list(base_expr)
 
@@ -103,7 +106,7 @@ def _exec_pyfile(filename: str) -> Dict[str, Any]:
         merged_base = _deep_merge(merged_base, base_cfg)
 
     namespace["_base_"] = ConfigDict.convert(merged_base)
-    exec(compile(code, filename, "exec"), namespace)
+    exec(compile(tree, filename, "exec"), namespace)
 
     cfg = {}
     for k, v in namespace.items():

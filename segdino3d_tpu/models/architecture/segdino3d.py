@@ -122,7 +122,15 @@ class SegDINO3D(nn.Module):
         bb: BackboneOutput = self.backbone(batch, train)
         b, s = bb.sp_valid.shape
 
-        if train and self.query_thr < 1 and self.query_num <= 0:
+        if self.query_num > 0:
+            # top-k superpoints by max class probability (reference :231-249)
+            scores = self.decoder.score_superpoints(bb.sp_feats)  # (B, S)
+            scores = jnp.where(bb.sp_valid, scores, -1.0)
+            k = min(self.query_num, s)
+            top_scores, q_idx = jax.lax.top_k(scores, k)
+            q_idx = q_idx.astype(jnp.int32)
+            q_valid = top_scores > -0.5
+        elif train and self.query_thr < 1:
             rng = self.make_rng("queries")
             q_idx, q_valid = select_queries_random(
                 rng, bb.sp_valid, self.query_thr)

@@ -205,6 +205,14 @@ class ScanNetQueryDecoder(nn.Module):
                 D, self.num_heads, self.dropout, name=f"dinox_ca_{i}")
                 for i in range(L)]
 
+    def score_superpoints(self, sp_feats):
+        """Per-superpoint max class probability, used by the architecture's
+        ``query_num`` top-k query selection (reference
+        ``baseline3d.py:231-243``)."""
+        q = self.query_proj2(nn.relu(self.query_proj1(sp_feats)))
+        cls = self.out_cls(self.out_norm(q))
+        return jax.nn.softmax(cls, axis=-1)[..., :-1].max(-1)
+
     def _pe(self, pos, scene_range, modulated=None):
         return sine_pos_embed(pos, self.d_model,
                               (scene_range[:, 0], scene_range[:, 1]),
