@@ -22,9 +22,11 @@ def test_overfit_and_eval_map():
     from segdino3d_tpu.train.optim import build_optimizer
 
     n_cls, n_sem = 8, 10
+    # high BN momentum so running stats converge within the short run
     model, criterion, test_cfg, variables, _ = ge._build(
         n_points=2048, s_cap=64, i_cap=8, k2d=8, batch=1,
-        num_layers=2, d_model=64, n_sem=n_sem, n_inst_cls=n_cls, feat2d=16)
+        num_layers=2, d_model=64, n_sem=n_sem, n_inst_cls=n_cls, feat2d=16,
+        bn_momentum=0.5)
 
     rec = synthetic_scene(0, n_points=2000, n_instances=5, n_superpoints=64,
                           n_classes=n_cls + 2, n_queries2d=8, feat_dim_2d=16,
@@ -39,7 +41,7 @@ def test_overfit_and_eval_map():
     step = make_train_step(model, criterion, tx, mesh=None, donate=False)
     rng = jax.random.PRNGKey(0)
     losses = []
-    for i in range(60):
+    for i in range(120):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batch, sub)
         losses.append(float(metrics["total_loss"]))
