@@ -241,3 +241,29 @@ def plan_level0(grid):
     return SC.Level(coords_T=grid.coords_T, key=grid.key, valid=grid.valid,
                     hash=grid.hash, num_voxels=grid.num_voxels,
                     parent_idx=None, parent_kpos=None)
+
+
+class TestConvPaths:
+    def test_premul_matches_im2col(self):
+        """matmul-first (Cin >> Cout) path == gather-im2col path."""
+        coords = np.unique(_rand_coords(150, extent=8, batch=1, seed=11), axis=0)
+        grid = _grid_of(coords)
+        n = coords.shape[0]
+        offsets = SC.kernel_offsets(3)
+        nbr = SC._neighbor_table(plan_level0(grid), offsets)
+        rng = np.random.RandomState(4)
+        cin, cout = 40, 4   # cin > 2*cout -> premul dispatch
+        feats = jnp.asarray(rng.randn(n, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32))
+        out_premul = SC.subm_conv(feats, nbr, w, grid.valid)
+        # force the im2col path by a fake small-cin dispatch: compute the
+        # reference by direct accumulation
+        ref = np.zeros((n, cout), np.float32)
+        nb = np.asarray(nbr)
+        fn = np.asarray(feats)
+        wn = np.asarray(w)
+        for o in range(27):
+            sel = nb[o] >= 0
+            ref[sel] += fn[nb[o][sel]] @ wn[o]
+        np.testing.assert_allclose(np.asarray(out_premul), ref,
+                                   rtol=1e-4, atol=1e-4)
