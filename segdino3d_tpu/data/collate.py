@@ -176,6 +176,16 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
     return batch.replace(unet_plan=uplan, plan_inverse_mapping=inverse)
 
 
+def stack_batches(batches: List[SceneBatch]) -> SceneBatch:
+    """Stack per-device SceneBatches (incl. host plans) on a new leading
+    axis for ``shard_map`` data parallelism: each shard receives leading
+    dim 1 and squeezes it (``make_train_step(stacked_batch=True)``)."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
 def eval_annotation(record: Dict, bg_class_id: int = 200) -> Dict[str, np.ndarray]:
     """Per-point GT maps for the evaluator (reference builds these from
     target masks in ``evaluate_3d.py:48-56``)."""

@@ -48,7 +48,13 @@ class TrainLoader:
                  num_workers: int = 4,
                  prefetch: int = 2,
                  process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1,
+                 mesh_shards: int = 1,
+                 host_plan_cfg: Optional[Dict] = None):
+        """``mesh_shards`` > 1 emits per-device stacked batches
+        (``collate.stack_batches``) for shard_map data parallelism;
+        ``host_plan_cfg`` (voxel_size, voxel_cap, ...) attaches host-built
+        sparse-conv plans to every (sub-)batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_spec = pad_spec
@@ -59,6 +65,10 @@ class TrainLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.mesh_shards = mesh_shards
+        self.host_plan_cfg = host_plan_cfg
+        if mesh_shards > 1:
+            assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
 
     def _index_stream(self) -> Iterator[List[int]]:
         """Epoch-shuffled global index stream, sharded over processes
@@ -87,7 +97,21 @@ class TrainLoader:
             rng = np.random.RandomState(
                 hash((self.seed, epoch, pos, k, self.process_index)) % (2 ** 31))
             records.append(self.dataset.get_record(idx, rng, sync_scale=scale))
-        return collate(records, self.pad_spec)
+
+        def one(recs):
+            b = collate(recs, self.pad_spec)
+            if self.host_plan_cfg:
+                from segdino3d_tpu.data.collate import attach_host_plan
+                b = attach_host_plan(b, recs, self.pad_spec,
+                                     **self.host_plan_cfg)
+            return b
+
+        if self.mesh_shards <= 1:
+            return one(records)
+        from segdino3d_tpu.data.collate import stack_batches
+        per = len(records) // self.mesh_shards
+        return stack_batches([one(records[i * per:(i + 1) * per])
+                              for i in range(self.mesh_shards)])
 
     def __iter__(self):
         if self.num_workers <= 0:

@@ -60,13 +60,21 @@ def create_train_state(variables, tx, use_ema=False):
 def make_train_step(model, criterion, tx, *,
                     ema_decay: Optional[float] = None,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
-    """Returns step(state, batch, rng) -> (state, metrics)."""
+                    donate: bool = True,
+                    stacked_batch: bool = False) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    ``stacked_batch``: the batch pytree carries a leading per-device axis
+    (``collate.stack_batches``) — required when host-built sparse plans ride
+    along, since plan arrays have no scene axis to shard.
+    """
 
     def local_step(state: TrainState, batch, rng):
         if mesh is not None:
             # decorrelate per-device query subsampling
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        if stacked_batch:
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
 
         def loss_fn(params):
             (outputs, gt), mut = model.apply(

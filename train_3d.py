@@ -153,18 +153,35 @@ def main():
 
     train_sets = [DATASETS.build(dict(c)) for c in cfg.data["train_main"]]
     dataset = ConcatDataset(train_sets)
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    bsz = cfg.data.get("train_batch_size", 4)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(min(n_dev, bsz)) if n_dev > 1 and bsz > 1 else None
+    n_shards = mesh.devices.size if mesh is not None else 1
+    voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
+    host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels)
     train_loader = TrainLoader(
         dataset, cfg.data.get("train_batch_size", 4), spec, seed=args.seed,
         sync_scale=cfg.data.get("sync_scale", True),
         num_workers=cfg.data.get("num_workers", 4),
         process_index=jax.process_index(),
-        process_count=jax.process_count())
+        process_count=jax.process_count(),
+        mesh_shards=n_shards,
+        host_plan_cfg=host_plan_cfg)
 
-    step_fn = make_train_step(
+    base_step = make_train_step(
         model, criterion, tx,
         ema_decay=cfg.get("ema_decay") if cfg.get("use_ema") else None,
-        mesh=mesh)
+        mesh=mesh, stacked_batch=mesh is not None)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("data"))
+
+        def step_fn(state, batch, rng):
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), batch)
+            return base_step(state, batch, rng)
+    else:
+        step_fn = base_step
 
     train_loop(
         step_fn=step_fn, state=state, train_loader=train_loader,
