@@ -51,7 +51,9 @@ def main():
     n_scene_points = int(os.environ.get("BENCH_SCENE_POINTS", "120000"))
     s_cap = int(os.environ.get("BENCH_SP", "1536"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    voxel_cap = int(os.environ.get("BENCH_VOXELS", str(n_points)))
+    # realistic bucketing: production pads voxels to the smallest bucket
+    # >= the scene's voxel count (~89k at 2cm for 120k-point scenes)
+    voxel_cap = int(os.environ.get("BENCH_VOXELS", "98304"))
 
     model, _criterion, test_cfg, variables, _small = _build(
         n_points=2048, s_cap=128, i_cap=16, k2d=32, batch=1,

@@ -29,6 +29,7 @@ class Capacities:
     num_superpoints: int = 2048
     num_instances: int = 256
     num_queries2d: int = 256
+    level_cap_ratios: Optional[tuple] = None  # host-plan level caps
 
     @staticmethod
     def from_cfg(cfg: Optional[Dict]) -> "Capacities":

@@ -61,7 +61,12 @@ class _ScanNetBase:
                  dataset_type: str = "scannet",
                  loss_branch: str = "cdn",
                  skip_empty_scenes: bool = False,
-                 voxel_size: float = 0.02):
+                 voxel_size: float = 0.02,
+                 num_semantic_classes: Optional[int] = None):
+        if num_semantic_classes is not None:
+            # override the dataset-default label space (tiny test configs)
+            self.num_semantic_classes = num_semantic_classes
+            self.bg_class_id = num_semantic_classes
         assert scene_set in ("train", "val", "test")
         self.scene_set = scene_set
         self.root_scenes = root_scenes

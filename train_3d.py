@@ -92,9 +92,12 @@ def main():
     from segdino3d_tpu.data.synthetic import synthetic_scene
     from segdino3d_tpu.data.collate import collate
     n_sem = cfg.model["decoder_cfg"]["num_semantic_classes"]
+    bb_cfg = cfg.model["pointcloud_backbone_cfg"]
+    raw_extra = 6 if bb_cfg.get("type") == "SpConvUNet" else 3
+    feat2d = max(bb_cfg.get("in_channels", 259) - raw_extra, 1)
     spec_small = PadSpec(4096, 256, 32, 32, n_sem)
     init_rec = synthetic_scene(0, n_points=2048, n_superpoints=64,
-                               n_classes=min(n_sem, 18))
+                               n_classes=min(n_sem, 18), feat_dim_2d=feat2d)
     init_batch = collate([init_rec], spec_small)
     rngs = {"params": jax.random.PRNGKey(args.seed),
             "queries": jax.random.PRNGKey(args.seed + 1)}
@@ -159,6 +162,8 @@ def main():
     n_shards = mesh.devices.size if mesh is not None else 1
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
     host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels)
+    if caps.level_cap_ratios:
+        host_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     train_loader = TrainLoader(
         dataset, cfg.data.get("train_batch_size", 4), spec, seed=args.seed,
         sync_scale=cfg.data.get("sync_scale", True),
