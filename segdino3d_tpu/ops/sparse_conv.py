@@ -223,16 +223,32 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
         # matmul-first: out[i] = sum_o (X @ W[o])[nbr[o,i]] — gathers rows
         # of width Cout instead of Cin. For the 259->32 k5 stem this cuts
         # gather traffic ~8x (row selection commutes with the matmul).
+        # Offsets are grouped so each scan-step matmul has N ~= 128 output
+        # columns (full MXU lane utilization instead of N=Cout).
+        g = max(1, 128 // cout)
+        n_groups = -(-n_off // g)
+        pad = n_groups * g - n_off
+        w_p = jnp.concatenate(
+            [weights, jnp.zeros((pad, cin, cout), weights.dtype)]) \
+            if pad else weights
+        nbr_p = jnp.concatenate(
+            [nbr, jnp.full((pad, v), -1, jnp.int32)]) if pad else nbr
+        # (n_groups, cin, g*cout): group weights concatenated along N
+        w_grp = w_p.reshape(n_groups, g, cin, cout).transpose(0, 2, 1, 3) \
+            .reshape(n_groups, cin, g * cout).astype(feats.dtype)
+        nbr_grp = nbr_p.reshape(n_groups, g, v)
         out0 = jnp.zeros((v, cout), feats.dtype)
 
         def body(acc, xs):
-            nbr_o, w_o = xs
-            y = jnp.dot(feats, w_o,
+            w_g, nbr_g = xs
+            y = jnp.dot(feats, w_g,
                         preferred_element_type=jnp.float32).astype(feats.dtype)
-            return acc + _gather_rows(y, nbr_o), None
+            for j in range(g):
+                acc = acc + _gather_rows(
+                    y[:, j * cout:(j + 1) * cout], nbr_g[j])
+            return acc, None
 
-        out, _ = jax.lax.scan(body, out0,
-                              (nbr, weights.astype(feats.dtype)))
+        out, _ = jax.lax.scan(body, out0, (w_grp, nbr_grp))
         return jnp.where(valid[:, None], out, 0.0)
 
     # gather-im2col-GEMM path (Cin ~ Cout): big-K MXU matmuls

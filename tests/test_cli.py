@@ -1,0 +1,108 @@
+"""CLI integration: train a few iterations, checkpoint, eval --resume.
+
+Exercises train_3d.py main() in-process on synthetic data written in the
+reference's disk layout. Slow (compiles the full train graph on CPU).
+"""
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG_TMPL = '''
+num_instance_classes = 16
+num_semantic_classes = 18
+model = dict(
+    type="SegDINO3D", num_classes=num_instance_classes, query_thr=0.5,
+    mode_3d_center="median", add_positional_embedding=True,
+    filter_outofbox_points_eval=False,
+    pointcloud_backbone_cfg=dict(
+        type="Res16UNet34C", in_channels=16 + 3, out_channels=96,
+        voxel_size=0.05, mode_fuse_2d_feat="early_fusion",
+        config=dict(conv1_kernel_size=5, bn_momentum=0.1)),
+    decoder_cfg=dict(
+        type="ScanNetQueryDecoder", num_layers=1,
+        num_instance_classes=num_instance_classes,
+        num_semantic_classes=num_semantic_classes,
+        in_channels=96, d_model=32, num_heads=4, hidden_dim=64,
+        dropout=0.0, activation_fn="gelu", iter_pred=True, attn_mask=True,
+        fix_attention=True, objectness_flag=False,
+        add_dinox_query_ca=True, add_dinox_query_ca_mask=True,
+        add_positional_embedding=True, pos_type="sine", temperature=20,
+        add_box_size_pred=True, box_modulate_ca=True,
+        normalize_box_prediction=True),
+    criterion_cfg=dict(
+        type="ScanNetUnifiedCriterion",
+        num_semantic_classes=num_semantic_classes,
+        sem_criterion=dict(type="ScanNetSemanticCriterion",
+                           ignore_index=num_semantic_classes, loss_weight=0.5),
+        inst_criterion=dict(
+            type="InstanceCriterion",
+            matcher=dict(type="SparseMatcher", topk=1, costs=[
+                dict(type="QueryClassificationCost", weight=0.5),
+                dict(type="MaskBCECost", weight=1.0),
+                dict(type="MaskDiceCost", weight=1.0)]),
+            loss_weight=[0.5, 1.0, 1.0, 0.5],
+            num_classes=num_instance_classes, non_object_weight=0.1,
+            fix_dice_loss_weight=True, iter_matcher=True, fix_mean_loss=True)),
+    test_cfg=dict(topk_insts=32, inst_score_thr=0.0, pan_score_thr=0.5,
+                  npoint_thr=10, obj_normalization=True, sp_score_thr=0.4,
+                  nms=True, matrix_nms_kernel="linear", stuff_classes=[0, 1]),
+)
+capacities = dict(num_points=4096, num_voxels=8192, num_superpoints=64,
+                  num_instances=16, num_queries2d=16,
+                  level_cap_ratios=(1, 1, 1, 1, 1))
+data = dict(
+    train_main=[dict(
+        type="ScanNet200InstanceSeg3D", scene_set="train",
+        root_scenes="{root}", use_super_points=True, adjust_class_ids=False,
+        exclude_stuffs=False, root_points_2dfeats="{root}/features_2d",
+        num_semantic_classes=num_semantic_classes,
+        transform_cfg=dict(type="Scannet200Transforms", voxel_size=0.05))],
+    eval_main=[dict(
+        type="ScanNet200InstanceSeg3D", scene_set="val",
+        root_scenes="{root}", use_super_points=True, adjust_class_ids=False,
+        exclude_stuffs=False, root_points_2dfeats="{root}/features_2d",
+        num_semantic_classes=num_semantic_classes,
+        transform_cfg=dict(type="Scannet200Transforms", voxel_size=0.05))],
+    train_batch_size=2, num_workers=0, sync_scale=True)
+evaluations = ["scannet200_instance_seg"]
+evaluator_cfg = dict(stuff_class_inds=[0, 1])
+optimizer = dict(type="AdamW", lr=1e-3, lr_backbone=1e-3, weight_decay=0.0)
+scheduler = dict(type="PolyLR", total_iters=4, power=0.9)
+use_ema = False
+clip_max_norm = 10
+num_iterations = 4
+eval_step = None
+save_step = 4
+print_freq = 2
+'''
+
+
+def test_cli_train_then_eval(tmp_path, monkeypatch):
+    from segdino3d_tpu.data.synthetic import write_scannet_layout
+
+    data_root = str(tmp_path / "data")
+    write_scannet_layout(data_root, seeds=[0, 1, 2], n_points=2500,
+                         n_superpoints=48, n_classes=16, n_instances=5,
+                         feat_dim_2d=16)
+    cfg_path = str(tmp_path / "cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TMPL.replace("{root}", data_root))
+    work = str(tmp_path / "work")
+
+    import train_3d
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_3d.py", "--config_file", cfg_path, "--work_dir", work,
+        "--seed", "1"])
+    train_3d.main()
+    assert os.path.isdir(os.path.join(work, "checkpoints"))
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_3d.py", "--config_file", cfg_path, "--work_dir", work,
+        "--seed", "1", "--eval_only", "--resume", "--num_eval_scenes", "2"])
+    train_3d.main()  # must not raise
