@@ -35,7 +35,7 @@ from jax import lax
 
 from segdino3d_tpu.models.layers import MLP
 from segdino3d_tpu.ops.attention import multi_head_attention
-from segdino3d_tpu.ops.pos_embed import sine_pos_embed
+from segdino3d_tpu.ops.pos_embed import fourier_pos_embed, sine_pos_embed
 from segdino3d_tpu.registry import DECODERS
 
 
@@ -166,6 +166,13 @@ class ScanNetQueryDecoder(nn.Module):
                          name=f"ffn_{i}") for i in range(L)]
 
         if self.add_positional_embedding:
+            if self.pos_type == "fourier":
+                # fixed Gaussian projection matrix (reference registers a
+                # non-trainable buffer, utils.py:49-51)
+                self.gauss_b = self.param(
+                    "gauss_B",
+                    lambda key, shape: self.gauss_scale
+                    * jax.random.normal(key, shape), (3, D // 2))
             self.ref_point_head = MLP(D, D, 2, name="ref_point_head")
             self.bbox_embed = [MLP(D, 3, 3, last_zero_init=True,
                                    name=f"bbox_embed_{i}") for i in range(L)]
@@ -214,8 +221,12 @@ class ScanNetQueryDecoder(nn.Module):
         return jax.nn.softmax(cls, axis=-1)[..., :-1].max(-1)
 
     def _pe(self, pos, scene_range, modulated=None):
-        return sine_pos_embed(pos, self.d_model,
-                              (scene_range[:, 0], scene_range[:, 1]),
+        rng = (scene_range[:, 0], scene_range[:, 1])
+        if self.pos_type == "fourier":
+            gb = lax.stop_gradient(self.gauss_b)
+            return fourier_pos_embed(pos, gb, self.d_model, rng,
+                                     modulated=modulated)
+        return sine_pos_embed(pos, self.d_model, rng,
                               temperature=self.temperature,
                               modulated=modulated)
 
@@ -253,6 +264,27 @@ class ScanNetQueryDecoder(nn.Module):
         mask_feats = jnp.where(sp_valid[..., None], mask_feats, 0.0)
 
         queries = self.query_proj2(nn.relu(self.query_proj1(queries_feat)))
+
+        if not self.iter_pred:
+            # simple non-iterative path (reference forward_simple :579-604):
+            # unmasked CA/SA/FFN stack, single head at the end
+            assert not self.add_positional_embedding, \
+                "iter_pred=False implemented for the plain (non-PE) decoder"
+            key_block_sp = ~sp_valid[:, None, :]
+            key_block_q = ~query_valid[:, None, :]
+            for i in range(self.num_layers):
+                queries = self.plain_ca[i](inst_feats, queries,
+                                           blocked=key_block_sp,
+                                           deterministic=deterministic)
+                queries = self.plain_sa[i](queries, queries,
+                                           blocked=key_block_q,
+                                           deterministic=deterministic)
+                queries = self.ffns[i](queries, deterministic=deterministic)
+            cls_p, sem_p, score_p, mask_p, _ = self._head(
+                queries, mask_feats, sp_valid, query_valid, last_flag=True)
+            return dict(cls_preds=cls_p, sem_preds=sem_p, masks=mask_p,
+                        scores=score_p, centers=None, sizes=None,
+                        aux_outputs=[], hidden_states=queries)
 
         if self.add_positional_embedding:
             reference_points = queries_pos                       # (B, Q, 3)

@@ -24,6 +24,24 @@ def shift_scale_points(xyz: jnp.ndarray,
     return (xyz - mn[:, None, :]) / jnp.maximum(extent[:, None, :], 1e-12)
 
 
+def fourier_pos_embed(xyz: jnp.ndarray,
+                      gauss_b: jnp.ndarray,
+                      num_channels: int,
+                      src_range: Tuple[jnp.ndarray, jnp.ndarray],
+                      modulated: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Gaussian-Fourier positional features (reference
+    ``get_fourier_embeddings``, utils.py:107-140): coordinates normalized
+    to [0,1], optionally divided by per-point modulation, scaled by 2*pi,
+    projected with a fixed Gaussian matrix, then [sin, cos]."""
+    d_out = num_channels // 2
+    x = shift_scale_points(xyz, src_range)
+    if modulated is not None:
+        x = x / modulated
+    x = x * (2 * math.pi)
+    proj = jnp.einsum("bnd,dk->bnk", x, gauss_b[:, :d_out])
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
 def sine_pos_embed(xyz: jnp.ndarray,
                    num_channels: int,
                    src_range: Tuple[jnp.ndarray, jnp.ndarray],
