@@ -60,6 +60,31 @@ class InstanceSeg3DEvaluator:
         scores (N,), and optional semantic/panoptic point maps."""
         self._results.append((eval_ann, pred))
 
+    def evaluate_per_scene(self, out_json: Optional[str] = None) -> Dict:
+        """Per-scene metric dump (reference ``compute_each_sample_metrics``
+        writing ``ours.json`` when debug=True, evaluator_3d.py:227-321)."""
+        import json
+
+        thing_ids = self.valid_class_ids[self.num_stuff:]
+        per_scene = {}
+        for ann, pred in self._results:
+            sem, inst = map_inst_markup(
+                ann["pts_semantic_mask"].copy(),
+                ann["pts_instance_mask"].copy(), thing_ids, self.num_stuff)
+            res = instance_seg_eval(
+                [sem], [inst], [pred["pts_instance_masks"]],
+                [pred["instance_labels"]], [pred["instance_scores"]],
+                valid_class_ids=thing_ids,
+                class_labels=self.class_names[self.num_stuff:],
+                print_summary=False)
+            per_scene[str(ann.get("lidar_idx"))] = dict(
+                all_ap=res["all_ap"], all_ap_50=res["all_ap_50"],
+                all_ap_25=res["all_ap_25"])
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump(per_scene, f, indent=1)
+        return per_scene
+
     def evaluate(self) -> Dict:
         if self.submission_prefix_instance:
             self.format_results_instance()
