@@ -44,6 +44,7 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
     btype = cfg.pop("type")
     voxel_size = cfg.pop("voxel_size", 0.02)
     mode_fuse = cfg.pop("mode_fuse_2d_feat", "early_fusion")
+    compute_dtype = cfg.pop("compute_dtype", "float32")
     cfg.pop("add_positional_embedding", None)
     if btype == "Res16UNet34C":
         unet = Res16UNet34C(
@@ -69,6 +70,7 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
         stem_kernel=stem_kernel,
         mode_fuse_2d_feat=mode_fuse,
         include_centered_xyz=include_centered,
+        compute_dtype=compute_dtype,
     )
 
 
