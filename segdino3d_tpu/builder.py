@@ -46,10 +46,12 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
     mode_fuse = cfg.pop("mode_fuse_2d_feat", "early_fusion")
     compute_dtype = cfg.pop("compute_dtype", "float32")
     cfg.pop("add_positional_embedding", None)
+    remat = cfg.pop("use_activation_checkpoint", False)
     if btype == "Res16UNet34C":
         unet = Res16UNet34C(
             in_channels=cfg.pop("in_channels", 259),
             out_channels=cfg.pop("out_channels", 96),
+            remat=remat,
             config=dict(cfg.pop("config", {})))
         stem_kernel = unet.config.get("conv1_kernel_size", 5)
         include_centered = False

@@ -117,15 +117,20 @@ class Res16UNet34C(nn.Module):
     voxel_size: float = 0.02
     mode_fuse_2d_feat: str = "early_fusion"
     add_positional_embedding: bool = True
+    remat: bool = False   # activation checkpointing per BasicBlock
+    # (reference: torch.utils.checkpoint toggles,
+    #  instance_seg_3d_decoder.py:270-284 / decoder use_activation_checkpoint)
 
     PLANES = (32, 64, 128, 256, 256, 128, 96, 96)
     LAYERS = (2, 3, 4, 6, 2, 2, 2, 2)
     INIT_DIM = 32
 
     def _blocks(self, x, n_blocks, planes, nbr, valid, train, name):
+        block_cls = nn.remat(BasicBlock, static_argnums=(4,)) if self.remat \
+            else BasicBlock
         for i in range(n_blocks):
-            x = BasicBlock(planes, bn_momentum=self.bn_mom,
-                           name=f"{name}_{i}")(x, nbr, valid, train)
+            x = block_cls(planes, bn_momentum=self.bn_mom,
+                          name=f"{name}_{i}")(x, nbr, valid, train)
         return x
 
     @property
