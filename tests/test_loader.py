@@ -1,0 +1,84 @@
+"""TrainLoader tests: determinism, sync-scale, process sharding."""
+import numpy as np
+
+from segdino3d_tpu.data.collate import PadSpec
+from segdino3d_tpu.data.loader import ConcatDataset, TrainLoader
+from segdino3d_tpu.data.synthetic import synthetic_scene
+
+
+class SynthDS:
+    def __init__(self, n=8, seed_base=0):
+        self.n = n
+        self.seed_base = seed_base
+        self.calls = []
+
+    def __len__(self):
+        return self.n
+
+    def get_record(self, idx, rng, sync_scale=None):
+        self.calls.append((idx, sync_scale))
+        rec = synthetic_scene(self.seed_base + idx, n_points=500,
+                              n_superpoints=16, n_classes=8, n_queries2d=4,
+                              feat_dim_2d=4)
+        if sync_scale is not None:
+            rec = dict(rec)
+            rec["points"] = rec["points"].copy()
+            rec["points"][:, :3] *= sync_scale
+        return rec
+
+
+SPEC = PadSpec(512, 16, 16, 8, 8)
+
+
+def test_deterministic_batches():
+    def collect():
+        ds = SynthDS()
+        loader = TrainLoader(ds, 2, SPEC, seed=3, num_workers=0)
+        it = iter(loader)
+        return [next(it) for _ in range(3)], ds.calls
+
+    b1, calls1 = collect()
+    b2, calls2 = collect()
+    assert calls1 == calls2
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(np.asarray(x.points),
+                                      np.asarray(y.points))
+
+
+def test_sync_scale_shared_per_batch():
+    ds = SynthDS()
+    loader = TrainLoader(ds, 4, SPEC, seed=0, sync_scale=True, num_workers=0)
+    next(iter(loader))
+    scales = [s for _, s in ds.calls]
+    assert len(set(scales)) == 1 and scales[0] is not None
+    assert 0.8 <= scales[0] <= 1.2
+
+
+def test_process_sharding_disjoint():
+    idxs = {}
+    for pi in range(2):
+        ds = SynthDS()
+        loader = TrainLoader(ds, 2, SPEC, seed=7, num_workers=0,
+                             process_index=pi, process_count=2)
+        it = iter(loader)
+        next(it); next(it)
+        idxs[pi] = set(i for i, _ in ds.calls)
+    assert idxs[0].isdisjoint(idxs[1])
+
+
+def test_concat_dataset_routing():
+    a, b = SynthDS(3, 0), SynthDS(5, 100)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 8
+    cat.get_record(2, np.random.RandomState(0))
+    cat.get_record(3, np.random.RandomState(0))
+    assert a.calls[0][0] == 2
+    assert b.calls[0][0] == 0
+
+
+def test_stacked_shards():
+    ds = SynthDS()
+    loader = TrainLoader(ds, 4, SPEC, seed=0, num_workers=0, mesh_shards=2)
+    batch = next(iter(loader))
+    # leading axis = shards, each with local batch 2
+    assert batch.points.shape[:3] == (2, 2, 512)
