@@ -93,3 +93,19 @@ class MetricLogger:
         elapsed = time.time() - start
         self._log(f"{header} done in {datetime.timedelta(seconds=int(elapsed))} "
                   f"({elapsed / max(i, 1):.4f} s/it)")
+
+
+def find_zero_grad_params(grads, eps: float = 0.0):
+    """Debug helper: list parameter paths whose gradient is identically
+    (or nearly) zero — the JAX analog of the reference's DDP
+    ``find_unused_parameters`` sanity check (``utils/train_utils.py:78-88``);
+    unused params show up as all-zero grads instead of DDP errors."""
+    import jax
+    import numpy as np
+
+    out = []
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        arr = np.asarray(g)
+        if np.abs(arr).max() <= eps:
+            out.append("/".join(str(p) for p in path))
+    return out
