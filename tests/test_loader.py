@@ -82,3 +82,31 @@ def test_stacked_shards():
     batch = next(iter(loader))
     # leading axis = shards, each with local batch 2
     assert batch.points.shape[:3] == (2, 2, 512)
+
+
+class TestBucketing:
+    def test_ladder_and_pick(self):
+        from segdino3d_tpu.data.bucketing import BucketPolicy, geometric_ladder
+        lad = geometric_ladder(1000, 10000, 1.5, 512)
+        assert lad[0] >= 1000 and lad[-1] >= 10000
+        assert all(b % 512 == 0 for b in lad)
+        assert all(b2 > b1 for b1, b2 in zip(lad, lad[1:]))
+
+        pol = BucketPolicy.default(num_semantic_classes=8)
+        rec = synthetic_scene(0, n_points=50000, n_superpoints=700,
+                              n_classes=8, n_queries2d=20, feat_dim_2d=4)
+        spec = pol.spec_for([rec])
+        assert spec.num_points >= 50000
+        assert spec.num_superpoints >= 700
+        assert spec.num_points - 50000 < 50000 * 0.5  # bounded waste
+
+    def test_oversize_raises(self):
+        from segdino3d_tpu.data.bucketing import BucketPolicy
+        pol = BucketPolicy(point_buckets=(1024,), sp_buckets=(64,),
+                           inst_buckets=(8,), q2d_buckets=(8,),
+                           num_semantic_classes=8)
+        rec = synthetic_scene(0, n_points=2000, n_superpoints=16,
+                              n_classes=8, n_queries2d=4, feat_dim_2d=4)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pol.spec_for([rec])
