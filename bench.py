@@ -55,6 +55,10 @@ def main():
     # >= the scene's voxel count (~89k at 2cm for 120k-point scenes)
     voxel_cap = int(os.environ.get("BENCH_VOXELS", "98304"))
 
+    # bf16 backbone compute by default: validated loss-free on the e2e
+    # overfit scenario (identical instance IoUs vs fp32); override with
+    # SEGDINO_COMPUTE_DTYPE=float32.
+    os.environ.setdefault("SEGDINO_COMPUTE_DTYPE", "bfloat16")
     model, _criterion, test_cfg, variables, _small = _build(
         n_points=2048, s_cap=128, i_cap=16, k2d=32, batch=1,
         num_layers=6, d_model=256, n_sem=200, n_inst_cls=198, feat2d=256)
