@@ -65,6 +65,12 @@ def main():
 
     spec = PadSpec(n_points, s_cap, 64, 128, 200)
 
+    # block-dense conv layout (ops.block_dense): per-level block edges,
+    # 0 = gather-GEMM path for that level
+    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "8,8,8,8,8")
+    block_edges = ([int(x) for x in edges_env.split(",")]
+                   if edges_env and edges_env != "0" else None)
+
     def make_batch(seed):
         recs = [synthetic_scene(seed + i, n_points=n_scene_points,
                                 n_instances=24, n_superpoints=s_cap,
@@ -72,7 +78,8 @@ def main():
                 for i in range(batch_size)]
         batch = collate(recs, spec)
         return attach_host_plan(batch, recs, spec, voxel_size=0.02,
-                                voxel_cap=voxel_cap)
+                                voxel_cap=voxel_cap,
+                                block_edges=block_edges)
 
     def infer(variables, batch):
         outputs, _ = model.apply(variables, batch, False)

@@ -131,6 +131,67 @@ void neighbor_table(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
   }
 }
 
+// Assign voxels to axis-aligned cubic blocks of `edge` voxels (the
+// block-dense conv layout: dense (n_blocks, edge^3, C) tiles that run
+// submanifold convs as real MXU convolutions instead of per-voxel
+// gathers).  Blocks are keyed by (b, x>>log2(edge), ...) in
+// first-occurrence order.  Outputs:
+//   out_vox_slot: (v_cap) int32 = block_id * edge^3 + local linear offset
+//                 (x-major: lx*edge^2 + ly*edge + lz), -1 for invalid voxels
+//   out_block_nbr: (6, block_cap) int32 face-neighbor block ids in the
+//                  order (-x, +x, -y, +y, -z, +z), -1 where absent
+// Returns the block count (may exceed block_cap — caller must check;
+// slots/neighbors beyond block_cap are not written).
+int64_t block_assign(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
+                     int32_t edge, int32_t* out_vox_slot,
+                     int32_t* out_block_nbr, int64_t block_cap) {
+  int32_t shift = 0;
+  while ((1 << shift) < edge) ++shift;
+  const int64_t vol = static_cast<int64_t>(edge) * edge * edge;
+  HashMap map(static_cast<size_t>(v_valid / 4 + 16));
+  std::vector<int32_t> block_coords;
+  block_coords.reserve(static_cast<size_t>(std::min<int64_t>(
+                           block_cap, v_valid) * 4));
+  int64_t count = 0;
+  for (int64_t i = 0; i < v_valid; ++i) {
+    const int32_t* c = vox_coords + 4 * i;
+    const int32_t bx = c[1] >> shift, by = c[2] >> shift, bz = c[3] >> shift;
+    const int64_t k = pack(c[0], bx, by, bz);
+    int32_t id = map.insert(k, static_cast<int32_t>(count));
+    if (id < 0) {
+      id = static_cast<int32_t>(count);
+      block_coords.push_back(c[0]);
+      block_coords.push_back(bx);
+      block_coords.push_back(by);
+      block_coords.push_back(bz);
+      ++count;
+    }
+    const int32_t lx = c[1] & (edge - 1), ly = c[2] & (edge - 1),
+                  lz = c[3] & (edge - 1);
+    out_vox_slot[i] =
+        (id < block_cap)
+            ? static_cast<int32_t>(id * vol + lx * edge * edge + ly * edge + lz)
+            : -1;
+  }
+  for (int64_t i = v_valid; i < v_cap; ++i) out_vox_slot[i] = -1;
+
+  const int64_t n_blocks = std::min<int64_t>(count, block_cap);
+  static const int32_t kFaces[6][3] = {{-1, 0, 0}, {1, 0, 0},  {0, -1, 0},
+                                       {0, 1, 0},  {0, 0, -1}, {0, 0, 1}};
+  for (int32_t f = 0; f < 6; ++f) {
+    int32_t* row = out_block_nbr + static_cast<int64_t>(f) * block_cap;
+    for (int64_t i = 0; i < n_blocks; ++i) {
+      const int32_t* c = block_coords.data() + 4 * i;
+      const int32_t x = c[1] + kFaces[f][0], y = c[2] + kFaces[f][1],
+                    z = c[3] + kFaces[f][2];
+      int32_t nb = (x < 0 || y < 0 || z < 0) ? -1 : map.find(pack(c[0], x, y, z));
+      row[i] = (nb >= block_cap) ? -1 : nb;
+    }
+    for (int64_t i = n_blocks; i < block_cap; ++i) row[i] = -1;
+  }
+  return count;
+}
+
 // 2x downsample: unique(floor(xyz/2)) in first-occurrence order.
 // Writes parent index + kernel position per fine voxel and the coarse
 // coordinates. Returns the coarse voxel count (check against coarse_cap).

@@ -142,12 +142,18 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
 def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      *, voxel_size: float, voxel_cap: int,
                      level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
-                     num_levels: int = 5, stem_kernel: int = 5) -> SceneBatch:
+                     num_levels: int = 5, stem_kernel: int = 5,
+                     block_edges: Optional[Sequence[int]] = None,
+                     block_caps: Optional[Sequence[int]] = None) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
 
     Replicates the backbone wrapper's coordinate policy exactly: elastic
     coords (already voxel units) when present, else xyz/voxel_size, then a
     per-scene min-shift rounded down to a multiple of 16.
+
+    ``block_edges[l]`` > 0 switches level ``l`` to the block-dense conv
+    layout (``ops.block_dense``); block counts are bucketed geometrically
+    unless ``block_caps`` pins them.
     """
     from segdino3d_tpu.ops.host_plan import build_host_plan, host_plan_to_device
 
@@ -169,7 +175,8 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
     bidx = np.repeat(np.arange(b, dtype=np.int32), p)
     plan = build_host_plan(coords.reshape(-1, 3), bidx, valid.reshape(-1),
                            caps, num_levels=num_levels,
-                           stem_kernel=stem_kernel)
+                           stem_kernel=stem_kernel,
+                           block_edges=block_edges, block_caps=block_caps)
     if plan.overflow:
         raise ValueError("host plan capacity overflow — raise voxel caps")
     uplan, inverse = host_plan_to_device(plan)

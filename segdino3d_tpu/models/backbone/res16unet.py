@@ -6,9 +6,18 @@ minkunet.py:257-694``): stem k5 conv, 4 down stages (k2 s2) with BasicBlock
 stacks LAYERS=(2,3,4,6,2,2,2,2), 4 transpose-conv up stages with skip
 concatenation, PLANES=(32,64,128,256,256,128,96,96), 96-ch output.
 
-The CUDA sparse convs become gather-GEMM kernels over a static coordinate
-pyramid (``segdino3d_tpu.ops.sparse_conv``); all tensors are padded with
-validity masks.
+Two execution strategies share the same parameter tree
+(``ops.conv_ctx``):
+
+* **block-dense** (production, used when the host plan carries block
+  tables): each level's voxels are packed into aligned ``edge``^3 dense
+  tiles; submanifold convs run as real MXU convolutions with face-halo
+  exchange, and per-voxel gathers happen only at stage boundaries
+  (``ops.block_dense``);
+* **gather-GEMM** (reference/fallback): per-conv neighbor-table gathers
+  (``ops.sparse_conv``).
+
+All tensors are padded with validity masks.
 """
 from __future__ import annotations
 
@@ -18,16 +27,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from segdino3d_tpu.ops import sparse_conv as SC
+from segdino3d_tpu.ops.conv_ctx import DenseCtx, GatherCtx
 from segdino3d_tpu.ops.voxelize import VoxelGrid
 from segdino3d_tpu.models.layers import MaskedBatchNorm
 from segdino3d_tpu.registry import BACKBONES
 
 
 class UNetPlan(NamedTuple):
-    """Coordinate pyramid + neighbor tables for one U-Net forward."""
+    """Coordinate pyramid + index tables for one U-Net forward."""
     levels: Tuple[SC.Level, ...]
-    subm_nbr: Tuple[jnp.ndarray, ...]   # per level: (27, V_l) offset-major
+    subm_nbr: Tuple[Optional[jnp.ndarray], ...]  # per level: (27, V_l) or None
     stem_nbr: Optional[jnp.ndarray]     # level 0: (k^3, V_0) for the stem conv
+    blocks: Optional[tuple] = None      # per level: block_dense.BlockTables
 
 
 def build_unet_plan(grid: VoxelGrid, num_levels: int = 5,
@@ -44,18 +55,38 @@ def build_unet_plan(grid: VoxelGrid, num_levels: int = 5,
     return UNetPlan(levels=plan.levels, subm_nbr=subm, stem_nbr=stem)
 
 
+def make_level_ctxs(plan: UNetPlan):
+    """One conv-execution context per pyramid level (+ the stem's).
+
+    Levels whose plan carries ``BlockTables`` run block-dense; the rest run
+    gather-GEMM over their 27-neighbor tables.  Mixed plans are fine (the
+    host loader picks per-level strategies by measured occupancy)."""
+    blocks = plan.blocks if plan.blocks is not None else (None,) * len(plan.levels)
+    ctxs = []
+    for li, (t, l) in enumerate(zip(blocks, plan.levels)):
+        if t is not None:
+            ctxs.append(DenseCtx(t, l.valid))
+        else:
+            ctxs.append(GatherCtx(plan.subm_nbr[li], l.valid))
+    if blocks[0] is not None:
+        stem_ctx = ctxs[0]
+    else:
+        stem_ctx = GatherCtx(plan.stem_nbr, plan.levels[0].valid)
+    return ctxs, stem_ctx
+
+
 class SubMConv(nn.Module):
-    """Submanifold conv (param holder around ops.sparse_conv.subm_conv)."""
+    """Submanifold conv (param holder; execution delegated to the ctx)."""
     out_channels: int
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, feats, nbr, valid):
+    def __call__(self, feats, ctx):
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (self.kernel_volume, feats.shape[-1], self.out_channels))
-        return SC.subm_conv(feats, nbr, w.astype(feats.dtype), valid)
+        return ctx.subm(feats, w.astype(feats.dtype))
 
 
 class DownConv(nn.Module):
@@ -88,21 +119,21 @@ class BasicBlock(nn.Module):
     bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, nbr, valid, train: bool):
+    def __call__(self, x, ctx, train: bool):
         residual = x
-        out = SubMConv(self.planes, name="conv1")(x, nbr, valid)
+        out = SubMConv(self.planes, name="conv1")(x, ctx)
         out = MaskedBatchNorm(momentum=self.bn_momentum, name="norm1")(
-            out, valid, use_running_average=not train)
+            out, ctx.valid, use_running_average=not train)
         out = nn.relu(out)
-        out = SubMConv(self.planes, name="conv2")(out, nbr, valid)
+        out = SubMConv(self.planes, name="conv2")(out, ctx)
         out = MaskedBatchNorm(momentum=self.bn_momentum, name="norm2")(
-            out, valid, use_running_average=not train)
+            out, ctx.valid, use_running_average=not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False,
                                 name="downsample_conv")(x)
             residual = MaskedBatchNorm(momentum=self.bn_momentum,
                                        name="downsample_norm")(
-                residual, valid, use_running_average=not train)
+                residual, ctx.valid, use_running_average=not train)
         out = out + residual
         return nn.relu(out)
 
@@ -125,12 +156,12 @@ class Res16UNet34C(nn.Module):
     LAYERS = (2, 3, 4, 6, 2, 2, 2, 2)
     INIT_DIM = 32
 
-    def _blocks(self, x, n_blocks, planes, nbr, valid, train, name):
-        block_cls = nn.remat(BasicBlock, static_argnums=(4,)) if self.remat \
+    def _blocks(self, x, n_blocks, planes, ctx, train, name):
+        block_cls = nn.remat(BasicBlock, static_argnums=(3,)) if self.remat \
             else BasicBlock
         for i in range(n_blocks):
             x = block_cls(planes, bn_momentum=self.bn_mom,
-                          name=f"{name}_{i}")(x, nbr, valid, train)
+                          name=f"{name}_{i}")(x, ctx, train)
         return x
 
     @property
@@ -142,67 +173,73 @@ class Res16UNet34C(nn.Module):
         """feats: (V0, in_channels) level-0 voxel features."""
         P, L = self.PLANES, self.LAYERS
         lv = plan.levels
-        valids = [l.valid for l in lv]
+        ctxs, stem_ctx = make_level_ctxs(plan)
         bn = lambda name: MaskedBatchNorm(momentum=self.bn_mom, name=name)
 
         # stem (pixel_dist 1)
-        stem_vol = plan.stem_nbr.shape[0]
+        stem_vol = (plan.stem_nbr.shape[0] if plan.stem_nbr is not None
+                    else 125)
+        out = stem_ctx.enter(feats)
         out = SubMConv(self.INIT_DIM, kernel_volume=stem_vol,
-                       name="conv0p1s1")(feats, plan.stem_nbr, valids[0])
-        out = bn("bn0")(out, valids[0], use_running_average=not train)
-        out_p1 = nn.relu(out)
+                       name="conv0p1s1")(out, stem_ctx)
+        out = bn("bn0")(out, stem_ctx.valid, use_running_average=not train)
+        out_p1 = nn.relu(out)   # kept in ctx layout for the final skip concat
 
         # down 1
-        out = DownConv(self.INIT_DIM, name="conv1p1s2")(out_p1, lv[0], lv[1])
-        out = bn("bn1")(out, valids[1], use_running_average=not train)
+        out = DownConv(self.INIT_DIM, name="conv1p1s2")(
+            ctxs[0].exit(out_p1), lv[0], lv[1])
+        out = ctxs[1].enter(out)
+        out = bn("bn1")(out, ctxs[1].valid, use_running_average=not train)
         out = nn.relu(out)
-        out_b1p2 = self._blocks(out, L[0], P[0], plan.subm_nbr[1], valids[1],
-                                train, "block1")
+        out_b1p2 = self._blocks(out, L[0], P[0], ctxs[1], train, "block1")
         # down 2
-        out = DownConv(P[0], name="conv2p2s2")(out_b1p2, lv[1], lv[2])
-        out = bn("bn2")(out, valids[2], use_running_average=not train)
+        out = DownConv(P[0], name="conv2p2s2")(
+            ctxs[1].exit(out_b1p2), lv[1], lv[2])
+        out = ctxs[2].enter(out)
+        out = bn("bn2")(out, ctxs[2].valid, use_running_average=not train)
         out = nn.relu(out)
-        out_b2p4 = self._blocks(out, L[1], P[1], plan.subm_nbr[2], valids[2],
-                                train, "block2")
+        out_b2p4 = self._blocks(out, L[1], P[1], ctxs[2], train, "block2")
         # down 3
-        out = DownConv(P[1], name="conv3p4s2")(out_b2p4, lv[2], lv[3])
-        out = bn("bn3")(out, valids[3], use_running_average=not train)
+        out = DownConv(P[1], name="conv3p4s2")(
+            ctxs[2].exit(out_b2p4), lv[2], lv[3])
+        out = ctxs[3].enter(out)
+        out = bn("bn3")(out, ctxs[3].valid, use_running_average=not train)
         out = nn.relu(out)
-        out_b3p8 = self._blocks(out, L[2], P[2], plan.subm_nbr[3], valids[3],
-                                train, "block3")
+        out_b3p8 = self._blocks(out, L[2], P[2], ctxs[3], train, "block3")
         # down 4 (pixel_dist 16)
-        out = DownConv(P[2], name="conv4p8s2")(out_b3p8, lv[3], lv[4])
-        out = bn("bn4")(out, valids[4], use_running_average=not train)
+        out = DownConv(P[2], name="conv4p8s2")(
+            ctxs[3].exit(out_b3p8), lv[3], lv[4])
+        out = ctxs[4].enter(out)
+        out = bn("bn4")(out, ctxs[4].valid, use_running_average=not train)
         out = nn.relu(out)
-        out = self._blocks(out, L[3], P[3], plan.subm_nbr[4], valids[4],
-                           train, "block4")
+        out = self._blocks(out, L[3], P[3], ctxs[4], train, "block4")
 
         # up 4 -> pixel_dist 8
-        out = UpConv(P[4], name="convtr4p16s2")(out, lv[3])
-        out = bn("bntr4")(out, valids[3], use_running_average=not train)
+        out = UpConv(P[4], name="convtr4p16s2")(ctxs[4].exit(out), lv[3])
+        out = ctxs[3].enter(out)
+        out = bn("bntr4")(out, ctxs[3].valid, use_running_average=not train)
         out = nn.relu(out)
         out = jnp.concatenate([out, out_b3p8], axis=-1)
-        out = self._blocks(out, L[4], P[4], plan.subm_nbr[3], valids[3],
-                           train, "block5")
+        out = self._blocks(out, L[4], P[4], ctxs[3], train, "block5")
         # up 5 -> pixel_dist 4
-        out = UpConv(P[5], name="convtr5p8s2")(out, lv[2])
-        out = bn("bntr5")(out, valids[2], use_running_average=not train)
+        out = UpConv(P[5], name="convtr5p8s2")(ctxs[3].exit(out), lv[2])
+        out = ctxs[2].enter(out)
+        out = bn("bntr5")(out, ctxs[2].valid, use_running_average=not train)
         out = nn.relu(out)
         out = jnp.concatenate([out, out_b2p4], axis=-1)
-        out = self._blocks(out, L[5], P[5], plan.subm_nbr[2], valids[2],
-                           train, "block6")
+        out = self._blocks(out, L[5], P[5], ctxs[2], train, "block6")
         # up 6 -> pixel_dist 2
-        out = UpConv(P[6], name="convtr6p4s2")(out, lv[1])
-        out = bn("bntr6")(out, valids[1], use_running_average=not train)
+        out = UpConv(P[6], name="convtr6p4s2")(ctxs[2].exit(out), lv[1])
+        out = ctxs[1].enter(out)
+        out = bn("bntr6")(out, ctxs[1].valid, use_running_average=not train)
         out = nn.relu(out)
         out = jnp.concatenate([out, out_b1p2], axis=-1)
-        out = self._blocks(out, L[6], P[6], plan.subm_nbr[1], valids[1],
-                           train, "block7")
+        out = self._blocks(out, L[6], P[6], ctxs[1], train, "block7")
         # up 7 -> pixel_dist 1
-        out = UpConv(P[7], name="convtr7p2s2")(out, lv[0])
-        out = bn("bntr7")(out, valids[0], use_running_average=not train)
+        out = UpConv(P[7], name="convtr7p2s2")(ctxs[1].exit(out), lv[0])
+        out = ctxs[0].enter(out)
+        out = bn("bntr7")(out, ctxs[0].valid, use_running_average=not train)
         out = nn.relu(out)
         out = jnp.concatenate([out, out_p1], axis=-1)
-        out = self._blocks(out, L[7], P[7], plan.subm_nbr[0], valids[0],
-                           train, "block8")
-        return out
+        out = self._blocks(out, L[7], P[7], ctxs[0], train, "block8")
+        return ctxs[0].exit(out)

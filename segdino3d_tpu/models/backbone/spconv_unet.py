@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from segdino3d_tpu.models.backbone.res16unet import (DownConv, SubMConv,
-                                                     UpConv, UNetPlan)
+                                                     UpConv, UNetPlan,
+                                                     make_level_ctxs)
 from segdino3d_tpu.models.layers import MaskedBatchNorm
 from segdino3d_tpu.registry import BACKBONES
 
@@ -34,15 +35,15 @@ class PreNormResidualBlock(nn.Module):
     bn_eps: float = 1e-4
 
     @nn.compact
-    def __call__(self, x, nbr, valid, train: bool):
+    def __call__(self, x, ctx, train: bool):
         bn = lambda name: MaskedBatchNorm(momentum=self.bn_momentum,
                                           eps=self.bn_eps, name=name)
-        h = bn("norm1")(x, valid, use_running_average=not train)
+        h = bn("norm1")(x, ctx.valid, use_running_average=not train)
         h = nn.relu(h)
-        h = SubMConv(self.out_channels, name="conv1")(h, nbr, valid)
-        h = bn("norm2")(h, valid, use_running_average=not train)
+        h = SubMConv(self.out_channels, name="conv1")(h, ctx)
+        h = bn("norm2")(h, ctx.valid, use_running_average=not train)
         h = nn.relu(h)
-        h = SubMConv(self.out_channels, name="conv2")(h, nbr, valid)
+        h = SubMConv(self.out_channels, name="conv2")(h, ctx)
         if x.shape[-1] != self.out_channels:
             ident = nn.Dense(self.out_channels, use_bias=False,
                              name="i_branch")(x)
@@ -65,12 +66,13 @@ class SpConvUNet(nn.Module):
         n_levels = len(planes)
         assert len(plan.levels) >= n_levels
         lv = plan.levels
+        ctxs, _ = make_level_ctxs(plan)
         bn = lambda name: MaskedBatchNorm(momentum=self.bn_momentum,
                                           eps=self.bn_eps, name=name)
 
         # input_conv: submanifold k3 in_channels -> planes[0] (:219-226)
-        x = SubMConv(planes[0], name="input_conv")(
-            feats, plan.subm_nbr[0], lv[0].valid)
+        x = ctxs[0].enter(feats)
+        x = SubMConv(planes[0], name="input_conv")(x, ctxs[0])
 
         # down path: blocks then strided conv, keeping skip activations
         skips = []
@@ -78,29 +80,30 @@ class SpConvUNet(nn.Module):
             for r in range(self.block_reps):
                 x = PreNormResidualBlock(
                     planes[l], self.bn_momentum, self.bn_eps,
-                    name=f"blocks_l{l}_{r}")(x, plan.subm_nbr[l],
-                                             lv[l].valid, train)
+                    name=f"blocks_l{l}_{r}")(x, ctxs[l], train)
             if l < n_levels - 1:
                 skips.append(x)
-                h = bn(f"down_norm_{l}")(x, lv[l].valid,
+                h = bn(f"down_norm_{l}")(x, ctxs[l].valid,
                                          use_running_average=not train)
                 h = nn.relu(h)
                 x = DownConv(planes[l + 1], name=f"down_conv_{l}")(
-                    h, lv[l], lv[l + 1])
+                    ctxs[l].exit(h), lv[l], lv[l + 1])
+                x = ctxs[l + 1].enter(x)
 
         # up path: deconv, concat skip, tail blocks (2 - i channel factor)
         for l in range(n_levels - 2, -1, -1):
-            h = bn(f"up_norm_{l}")(x, lv[l + 1].valid,
+            h = bn(f"up_norm_{l}")(x, ctxs[l + 1].valid,
                                    use_running_average=not train)
             h = nn.relu(h)
-            x = UpConv(planes[l], name=f"up_conv_{l}")(h, lv[l])
+            x = UpConv(planes[l], name=f"up_conv_{l}")(ctxs[l + 1].exit(h),
+                                                       lv[l])
+            x = ctxs[l].enter(x)
             x = jnp.concatenate([skips[l], x], axis=-1)
             for r in range(self.block_reps):
                 x = PreNormResidualBlock(
                     planes[l], self.bn_momentum, self.bn_eps,
-                    name=f"tail_l{l}_{r}")(x, plan.subm_nbr[l],
-                                           lv[l].valid, train)
+                    name=f"tail_l{l}_{r}")(x, ctxs[l], train)
 
         # output_layer: BN + ReLU (:227-229)
-        x = bn("output_norm")(x, lv[0].valid, use_running_average=not train)
-        return nn.relu(x)
+        x = bn("output_norm")(x, ctxs[0].valid, use_running_average=not train)
+        return ctxs[0].exit(nn.relu(x))

@@ -100,7 +100,7 @@ class SparseBackboneWrapper(nn.Module):
             # feature averaging runs on device
             plan = batch.unet_plan
             inverse = batch.plan_inverse_mapping
-            v0 = plan.subm_nbr[0].shape[1]
+            v0 = plan.levels[0].valid.shape[0]
             vox_feats = scatter.segment_mean(
                 feats, jnp.where(inverse >= 0, inverse, v0), v0, pvalid)
             vox_feats = jnp.where(plan.levels[0].valid[:, None], vox_feats, 0.0)

@@ -44,6 +44,9 @@ def _load():
     lib.downsample.restype = ctypes.c_int64
     lib.downsample.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                i32p, i32p, i32p, ctypes.c_int64]
+    lib.block_assign.restype = ctypes.c_int64
+    lib.block_assign.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int32, i32p, i32p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -52,11 +55,26 @@ def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def block_bucket(n: int) -> int:
+    """Smallest rung of a fixed ~1.25x geometric ladder >= n (bounds the
+    number of distinct compiled shapes across batches)."""
+    m = 16
+    while m < n:
+        m = ((max(m + 16, int(m * 1.25)) + 15) // 16) * 16
+    return m
+
+
 class HostLevel(NamedTuple):
     num_voxels: int
     subm_nbr: np.ndarray            # (27, V) int32
     parent_idx: Optional[np.ndarray]   # (V,) into coarser level
     parent_kpos: Optional[np.ndarray]
+    # block-dense layout (None when this level runs gather-GEMM):
+    # see ops.block_dense
+    num_blocks: int = 0
+    vox_slot: Optional[np.ndarray] = None    # (V,) int32
+    block_nbr: Optional[np.ndarray] = None   # (6, B_cap) int32
+    block_edge: int = 0
 
 
 class HostPlan(NamedTuple):
@@ -72,9 +90,19 @@ def build_host_plan(coords_f: np.ndarray,
                     valid: np.ndarray,
                     level_caps: Sequence[int],
                     num_levels: int = 5,
-                    stem_kernel: int = 5) -> HostPlan:
-    """coords_f: (N, 3) float voxel-unit coordinates (min-shifted >= 0)."""
+                    stem_kernel: int = 5,
+                    block_edges: Optional[Sequence[int]] = None,
+                    block_caps: Optional[Sequence[int]] = None,
+                    subm_for_dense: bool = False) -> HostPlan:
+    """coords_f: (N, 3) float voxel-unit coordinates (min-shifted >= 0).
+
+    ``block_edges[l]`` > 0 gives level ``l`` block-dense layout tables
+    (``ops.block_dense``) with ``block_caps[l]`` static block slots; such
+    levels skip their (27, V) gather tables (the device never reads them)
+    unless ``subm_for_dense`` — used by parity tests running both paths.
+    """
     lib = _load()
+    block_edges = list(block_edges or [0] * num_levels)
     n = coords_f.shape[0]
     ijk = np.maximum(np.floor(coords_f).astype(np.int32), 0)
     coords4 = np.ascontiguousarray(
@@ -98,9 +126,31 @@ def build_host_plan(coords_f: np.ndarray,
     level_cnt = cnt
     for li in range(num_levels):
         v_cap = level_coords.shape[0]
-        nbr = np.empty((27, v_cap), np.int32)
-        lib.neighbor_table(_i32p(level_coords), v_cap, level_cnt,
-                           _i32p(k3), 27, _i32p(nbr))
+        edge = block_edges[li] if li < len(block_edges) else 0
+        nbr = None
+        if not edge or subm_for_dense:
+            nbr = np.empty((27, v_cap), np.int32)
+            lib.neighbor_table(_i32p(level_coords), v_cap, level_cnt,
+                               _i32p(k3), 27, _i32p(nbr))
+        n_blocks, vox_slot, block_nbr = 0, None, None
+        if edge:
+            fixed = block_caps is not None and block_caps[li]
+            # with no fixed cap, assign with the loose bound B <= V and
+            # trim to a geometric bucket after (bounds recompile count)
+            b_cap = int(block_caps[li]) if fixed else v_cap
+            vox_slot = np.empty(v_cap, np.int32)
+            block_nbr = np.empty((6, b_cap), np.int32)
+            n_blocks = int(lib.block_assign(
+                _i32p(level_coords), v_cap, level_cnt, edge,
+                _i32p(vox_slot), _i32p(block_nbr), b_cap))
+            overflow = overflow or (n_blocks > b_cap)
+            n_blocks = min(n_blocks, b_cap)
+            if not fixed:
+                bucket = block_bucket(n_blocks)
+                block_nbr = np.ascontiguousarray(
+                    np.pad(block_nbr[:, :n_blocks],
+                           ((0, 0), (0, bucket - n_blocks)),
+                           constant_values=-1))
         parent = kpos = None
         if li < num_levels - 1:
             c_cap = int(level_caps[li + 1])
@@ -114,19 +164,22 @@ def build_host_plan(coords_f: np.ndarray,
             ccnt = min(ccnt, c_cap)
             parent[parent >= c_cap] = -1
         levels.append(HostLevel(num_voxels=level_cnt, subm_nbr=nbr,
-                                parent_idx=parent, parent_kpos=kpos))
+                                parent_idx=parent, parent_kpos=kpos,
+                                num_blocks=n_blocks, vox_slot=vox_slot,
+                                block_nbr=block_nbr, block_edge=edge))
         if li < num_levels - 1:
             level_coords = coarse
             level_cnt = ccnt
 
-    v0 = levels[0].subm_nbr.shape[1]
-    if stem_kernel != 3:
-        k = np.ascontiguousarray(kernel_offsets(stem_kernel))
-        stem = np.empty((k.shape[0], v0), np.int32)
-        lib.neighbor_table(_i32p(vox), v0, cnt, _i32p(k), k.shape[0],
-                           _i32p(stem))
-    else:
-        stem = levels[0].subm_nbr
+    stem = None
+    if not block_edges[0] or subm_for_dense:
+        if stem_kernel != 3:
+            k = np.ascontiguousarray(kernel_offsets(stem_kernel))
+            stem = np.empty((k.shape[0], v0_cap), np.int32)
+            lib.neighbor_table(_i32p(vox), v0_cap, cnt, _i32p(k), k.shape[0],
+                               _i32p(stem))
+        else:
+            stem = levels[0].subm_nbr
     return HostPlan(inverse_mapping=inverse, levels=levels, stem_nbr=stem,
                     overflow=overflow)
 
@@ -143,7 +196,8 @@ def host_plan_to_device(plan: HostPlan):
 
     levels = []
     for hl in plan.levels:
-        v = hl.subm_nbr.shape[1]
+        v = (hl.subm_nbr.shape[1] if hl.subm_nbr is not None
+             else hl.vox_slot.shape[0])
         valid = jnp.arange(v, dtype=jnp.int32) < hl.num_voxels
         levels.append(Level(
             coords_T=jnp.zeros((4, v), jnp.int32),
@@ -154,9 +208,22 @@ def host_plan_to_device(plan: HostPlan):
             parent_idx=None if hl.parent_idx is None else jnp.asarray(hl.parent_idx),
             parent_kpos=None if hl.parent_kpos is None else jnp.asarray(hl.parent_kpos),
         ))
+    blocks = None
+    if any(hl.vox_slot is not None for hl in plan.levels):
+        from segdino3d_tpu.ops.block_dense import BlockTables
+
+        blocks = tuple(
+            None if hl.vox_slot is None else
+            BlockTables(vox_slot=jnp.asarray(hl.vox_slot),
+                        block_nbr=jnp.asarray(hl.block_nbr),
+                        edge=hl.block_edge)
+            for hl in plan.levels)
     uplan = UNetPlan(
         levels=tuple(levels),
-        subm_nbr=tuple(jnp.asarray(hl.subm_nbr) for hl in plan.levels),
-        stem_nbr=jnp.asarray(plan.stem_nbr),
+        subm_nbr=tuple(None if hl.subm_nbr is None else jnp.asarray(hl.subm_nbr)
+                       for hl in plan.levels),
+        stem_nbr=(None if plan.stem_nbr is None
+                  else jnp.asarray(plan.stem_nbr)),
+        blocks=blocks,
     )
     return uplan, jnp.asarray(plan.inverse_mapping)

@@ -1,0 +1,149 @@
+"""Block-dense conv path: parity against the gather-GEMM reference path.
+
+The block-dense layout (``ops.block_dense``) must reproduce submanifold
+conv semantics exactly (reference: spconv SubMConv3d /
+MinkowskiConvolution, ``/root/reference/segdino3d/models/backbone/
+spconvunet.py:42-60``): output coords == input coords, absent neighbors
+contribute zero.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segdino3d_tpu.ops.host_plan import (block_bucket, build_host_plan,
+                                         host_plan_to_device)
+from segdino3d_tpu.ops import block_dense as BD
+from segdino3d_tpu.ops import sparse_conv as SC
+
+
+def _plan(seed=0, n=2500, box=40, batches=2, edges=(8, 4, 8, 4, 8),
+          caps=(4096, 2048, 1024, 512, 256)):
+    rng = np.random.RandomState(seed)
+    coords = np.concatenate(
+        [rng.randint(0, box, (n, 3)) for _ in range(batches)]).astype(np.float32)
+    bidx = np.repeat(np.arange(batches, dtype=np.int32), n)
+    valid = np.ones(batches * n, bool)
+    plan = build_host_plan(coords, bidx, valid, list(caps),
+                           block_edges=list(edges), subm_for_dense=True)
+    uplan, _ = host_plan_to_device(plan)
+    return plan, uplan
+
+
+class TestBlockDenseConv:
+    def test_scatter_gather_roundtrip(self):
+        _, uplan = _plan()
+        rng = np.random.RandomState(1)
+        for li in range(3):
+            t = uplan.blocks[li]
+            v = t.vox_slot.shape[0]
+            valid = uplan.levels[li].valid
+            feats = jnp.where(valid[:, None],
+                              jnp.asarray(rng.randn(v, 8).astype(np.float32)),
+                              0.0)
+            back = BD.gather_from_dense(BD.scatter_to_dense(feats, t), t)
+            np.testing.assert_array_equal(np.asarray(back), np.asarray(feats))
+
+    def test_occupancy_counts_valid_voxels(self):
+        plan, uplan = _plan()
+        for li in range(3):
+            occ = BD.occupancy(uplan.blocks[li], uplan.levels[li].valid)
+            assert int(occ.sum()) == plan.levels[li].num_voxels
+
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_conv_parity_vs_gather(self, k):
+        plan, uplan = _plan()
+        rng = np.random.RandomState(2)
+        for li in (0, 1):   # one edge-8 and one edge-4 level
+            hl = plan.levels[li]
+            v = hl.subm_nbr.shape[1]
+            valid = uplan.levels[li].valid
+            cin, cout = 16, 24
+            feats = jnp.where(
+                valid[:, None],
+                jnp.asarray(rng.randn(v, cin).astype(np.float32)), 0.0)
+            w = jnp.asarray(rng.randn(k ** 3, cin, cout).astype(np.float32)
+                            * 0.1)
+            if k == 3:
+                nbr = jnp.asarray(hl.subm_nbr)
+            elif li == 0:
+                nbr = jnp.asarray(plan.stem_nbr)
+            else:
+                continue
+            ref = SC.subm_conv(feats, nbr, w, valid)
+            t = uplan.blocks[li]
+            out = BD.dense_subm_conv(BD.scatter_to_dense(feats, t),
+                                     BD.occupancy(t, valid), t, w)
+            got = BD.gather_from_dense(out, t)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_halo_pad_zero_outside(self):
+        """Cells past every face of an isolated block read as zero."""
+        nbr = jnp.full((6, 1), -1, jnp.int32)
+        x = jnp.arange(1 * 4 * 4 * 4 * 2, dtype=jnp.float32).reshape(1, 4, 4, 4, 2)
+        p = BD.halo_pad(x, nbr, 1)
+        assert p.shape == (1, 6, 6, 6, 2)
+        np.testing.assert_array_equal(np.asarray(p[0, 0]), 0)
+        np.testing.assert_array_equal(np.asarray(p[0, -1]), 0)
+        np.testing.assert_array_equal(np.asarray(p[0, 1:5, 1:5, 1:5]),
+                                      np.asarray(x[0]))
+
+    def test_halo_pad_neighbor_slabs(self):
+        """Two blocks adjacent along +x exchange their boundary slabs."""
+        # block 0 at block-coord 0, block 1 at +x
+        nbr = np.full((6, 2), -1, np.int32)
+        nbr[1, 0] = 1   # block0's +x neighbor is block1
+        nbr[0, 1] = 0   # block1's -x neighbor is block0
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 4, 4, 4, 3).astype(np.float32))
+        p = BD.halo_pad(x, jnp.asarray(nbr), 1)
+        # block0's +x halo plane == block1's x=0 plane
+        np.testing.assert_array_equal(np.asarray(p[0, 5, 1:5, 1:5]),
+                                      np.asarray(x[1, 0]))
+        # block1's -x halo plane == block0's x=3 plane
+        np.testing.assert_array_equal(np.asarray(p[1, 0, 1:5, 1:5]),
+                                      np.asarray(x[0, 3]))
+
+    def test_block_bucket_ladder(self):
+        assert block_bucket(0) == 16
+        assert block_bucket(16) == 16
+        assert block_bucket(17) == 32
+        prev = 16
+        for n in range(1, 5000, 97):
+            b = block_bucket(n)
+            assert b >= n and b % 16 == 0
+        # ladder is a fixed sequence: same inputs -> same bucket
+        assert block_bucket(1000) == block_bucket(1000)
+
+
+class TestBackboneDenseParity:
+    @pytest.mark.slow
+    def test_res16unet_dense_vs_gather(self):
+        from segdino3d_tpu.models.backbone.res16unet import Res16UNet34C
+
+        rng = np.random.RandomState(1)
+        n = 900
+        coords = rng.randint(0, 32, (n, 3)).astype(np.float32)
+        bidx = np.zeros(n, np.int32)
+        valid = np.ones(n, bool)
+        caps = [1024, 512, 256, 128, 64]
+        plan = build_host_plan(coords, bidx, valid, caps,
+                               block_edges=[8, 8, 4, 4, 8],
+                               subm_for_dense=True)
+        up_dense, _ = host_plan_to_device(plan)
+        up_gather = up_dense._replace(blocks=None)
+        feats = jnp.where(
+            up_dense.levels[0].valid[:, None],
+            jnp.asarray(rng.randn(caps[0], 19).astype(np.float32)), 0.0)
+        model = Res16UNet34C(in_channels=19, out_channels=96)
+        vars_ = jax.jit(model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(0), feats, up_gather, False)
+        ap = jax.jit(model.apply, static_argnums=(3,))
+        out_g = ap(vars_, feats, up_gather, False)
+        out_d = ap(vars_, feats, up_dense, False)
+        # tolerance: fp32 reorder noise amplified through 29 BN/ReLU layers
+        # (measured growth 5e-8 -> 4e-5 over the up path; no single layer
+        # introduces structural error — see test_conv_parity_vs_gather)
+        rel = float(jnp.abs(out_d - out_g).max() / jnp.abs(out_g).max())
+        assert rel < 3e-3, rel
