@@ -1,0 +1,139 @@
+"""Import machinery for executing reference modules directly in tests.
+
+The reference (`/root/reference`) depends on mmengine / plyfile / trimesh /
+MinkowskiEngine / spconv, most of which are absent here.  The pure-torch
+modules we test against numerically — ``models/loss/loss_3d.py``,
+``models/module/attention.py``, ``models/decoder/instance_seg_3d_decoder.py``
+and their utils — only *import* a thin slice of those deps, so tiny stubs
+let us run the actual reference code (no re-derivation of its formulas)
+and harvest its exact state-dict naming for the checkpoint bridge.
+
+Usage::
+
+    ref = load_reference_modules()   # None if torch/reference unavailable
+    loss3d = ref["loss_3d"]
+    dec = ref["decoder"]
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _stub_mmengine(torch):
+    mm = types.ModuleType("mmengine")
+
+    class Registry:
+        def __init__(self, name):
+            self.name = name
+            self.module_dict = {}
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                self.module_dict[cls.__name__] = cls
+                return cls
+            return deco
+
+        def get(self, name):
+            return self.module_dict[name]
+
+    def build_from_cfg(cfg, registry, default_args=None):
+        cfg = dict(cfg)
+        cls = registry.get(cfg.pop("type"))
+        if default_args:
+            cfg.update(default_args)
+        return cls(**cfg)
+
+    mm.Registry = Registry
+    mm.build_from_cfg = build_from_cfg
+    mm_model = types.ModuleType("mmengine.model")
+    mm_model.BaseModule = torch.nn.Module
+    mm.model = mm_model
+    sys.modules["mmengine"] = mm
+    sys.modules["mmengine.model"] = mm_model
+
+
+def _stub_misc():
+    for name, attrs in (("plyfile", ("PlyData", "PlyElement")),
+                        ("trimesh", ())):
+        if name in sys.modules:
+            continue
+        mod = types.ModuleType(name)
+        for a in attrs:
+            setattr(mod, a, object)
+        sys.modules[name] = mod
+
+
+def _fake_segdino3d(torch):
+    """A fake ``segdino3d`` package exposing no-op registries, so reference
+    files' ``from segdino3d import LOSSES`` resolve without pulling in the
+    ME/spconv-importing package ``__init__``."""
+    import mmengine
+
+    pkg = types.ModuleType("segdino3d")
+    pkg.__path__ = [os.path.join(REF_ROOT, "segdino3d")]
+    for reg in ("BACKBONES", "DECODERS", "LOSSES", "MATCHERS",
+                "ARCHITECTURES", "POS_EMBEDDINGS", "PREPARERS", "DATASETS",
+                "TRANSFORMS", "ENCODERS", "FUSERS", "NECKS", "TEXT_ENCODERS",
+                "HEADS"):
+        setattr(pkg, reg, mmengine.Registry(reg.lower()))
+    pkg.build_loss = lambda cfg: mmengine.build_from_cfg(cfg, pkg.LOSSES)
+    pkg.build_matcher = lambda cfg: mmengine.build_from_cfg(cfg, pkg.MATCHERS)
+    sys.modules["segdino3d"] = pkg
+    for sub in ("segdino3d.models", "segdino3d.models.module",
+                "segdino3d.models.decoder", "segdino3d.models.loss"):
+        m = types.ModuleType(sub)
+        m.__path__ = [os.path.join(REF_ROOT, *sub.split("."))]
+        sys.modules[sub] = m
+    return pkg
+
+
+def _load_file(dotted: str, rel: str):
+    spec = importlib.util.spec_from_file_location(
+        dotted, os.path.join(REF_ROOT, rel))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_cache = None
+
+
+def load_reference_modules():
+    """Returns dict(loss_3d=, attention=, decoder=, utils=) or None when
+    the reference tree / torch is unavailable."""
+    global _cache
+    if _cache is not None:
+        return _cache
+    if not os.path.isdir(REF_ROOT):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+    if "segdino3d" not in sys.modules:
+        _stub_mmengine(torch)
+        _stub_misc()
+        _fake_segdino3d(torch)
+        _load_file("segdino3d.models.module.pc_util",
+                   "segdino3d/models/module/pc_util.py")
+        _load_file("segdino3d.models.module.utils",
+                   "segdino3d/models/module/utils.py")
+        _load_file("segdino3d.models.module.attention",
+                   "segdino3d/models/module/attention.py")
+        _load_file("segdino3d.models.loss.loss_3d",
+                   "segdino3d/models/loss/loss_3d.py")
+        _load_file("segdino3d.models.decoder.instance_seg_3d_decoder",
+                   "segdino3d/models/decoder/instance_seg_3d_decoder.py")
+    _cache = dict(
+        loss_3d=sys.modules["segdino3d.models.loss.loss_3d"],
+        attention=sys.modules["segdino3d.models.module.attention"],
+        utils=sys.modules["segdino3d.models.module.utils"],
+        decoder=sys.modules["segdino3d.models.decoder.instance_seg_3d_decoder"],
+    )
+    return _cache
