@@ -70,6 +70,10 @@ def main():
     edges_env = os.environ.get("BENCH_BLOCK_EDGES", "8,8,8,8,8")
     block_edges = ([int(x) for x in edges_env.split(",")]
                    if edges_env and edges_env != "0" else None)
+    # per-level voxel caps as fractions of voxel_cap; 2-manifold scenes
+    # shrink ~3.3x per 2x downsample
+    ratios = tuple(float(x) for x in os.environ.get(
+        "BENCH_LEVEL_RATIOS", "1.0,0.4,0.15,0.06,0.025").split(","))
 
     def make_batch(seed):
         recs = [synthetic_scene(seed + i, n_points=n_scene_points,
@@ -79,6 +83,7 @@ def main():
         batch = collate(recs, spec)
         return attach_host_plan(batch, recs, spec, voxel_size=0.02,
                                 voxel_cap=voxel_cap,
+                                level_cap_ratios=ratios,
                                 block_edges=block_edges)
 
     def infer(variables, batch):

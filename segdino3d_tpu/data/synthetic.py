@@ -13,6 +13,35 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _grid_surface(rng, m, origin, u_axis, v_axis, n_axis, u_len, v_len,
+                  pitch, jitter=0.6, thickness=0.015):
+    """Sample m points on a rectangle via a jittered grid.
+
+    Real indoor scans cover surfaces *contiguously* — at 2 cm voxels nearly
+    every surface cell in view is occupied (scan meshes are dense), unlike
+    i.i.d.-uniform sprinkling which leaves most cells empty at realistic
+    point budgets.  Grid + jitter reproduces that connectivity, which is
+    what drives sparse-conv neighbor density and block-dense tile fill.
+    """
+    nu = max(1, int(round(u_len / pitch)))
+    nv = max(1, int(round(v_len / pitch)))
+    cells = nu * nv
+    if m >= cells:
+        # full coverage: every cell once, surplus as extra random cells
+        idx = np.concatenate([np.arange(cells),
+                              rng.randint(0, cells, m - cells)])
+    else:
+        idx = rng.permutation(cells)[:m]
+    u = (idx // nv + rng.uniform(-jitter, jitter, m) + 0.5) * (u_len / nu)
+    v = (idx % nv + rng.uniform(-jitter, jitter, m) + 0.5) * (v_len / nv)
+    w = rng.uniform(0, thickness, m)
+    out = np.tile(np.asarray(origin, np.float32), (m, 1))
+    out[:, u_axis] += u.astype(np.float32)
+    out[:, v_axis] += v.astype(np.float32)
+    out[:, n_axis] += w.astype(np.float32)
+    return out
+
+
 def synthetic_scene(seed: int = 0,
                     n_points: int = 20000,
                     n_instances: int = 8,
@@ -21,53 +50,97 @@ def synthetic_scene(seed: int = 0,
                     n_stuff: int = 2,
                     n_queries2d: int = 12,
                     feat_dim_2d: int = 256,
-                    extent: float = 6.0) -> Dict:
-    """A room: floor/wall 'stuff' + blob instances, superpoints by grid."""
+                    extent: Optional[float] = None,
+                    point_density: float = 3500.0) -> Dict:
+    """A room: floor/wall 'stuff' + box-surface instances, superpoints by
+    grid.  Surfaces are sampled at ``point_density`` pts/m^2 on jittered
+    grids (ScanNet-like contiguity at 2 cm voxels); with the default
+    density the room extent is derived from the point budget so surface
+    coverage stays realistic at any ``n_points``."""
     rng = np.random.RandomState(seed)
     pts = np.zeros((n_points, 6), np.float32)
+    pitch = 1.0 / np.sqrt(point_density)
 
-    # stuff: floor (z~0) and wall (y~0)
-    n_floor = n_points // 4
-    n_wall = n_points // 8
-    n_things = n_points - n_floor - n_wall
-    pts[:n_floor, 0] = rng.uniform(0, extent, n_floor)
-    pts[:n_floor, 1] = rng.uniform(0, extent, n_floor)
-    pts[:n_floor, 2] = rng.uniform(0, 0.05, n_floor)
-    pts[n_floor:n_floor + n_wall, 0] = rng.uniform(0, extent, n_wall)
-    pts[n_floor:n_floor + n_wall, 1] = rng.uniform(0, 0.05, n_wall)
-    pts[n_floor:n_floor + n_wall, 2] = rng.uniform(0, 2.5, n_wall)
+    # nominal room geometry, then scale every dimension so the total
+    # surface area matches the point budget at the target density (real
+    # scans sample their visible surfaces fully; coverage, not extent,
+    # is the invariant)
+    nominal_extent = extent if extent is not None else 4.5
+    wall_h = min(2.5, nominal_extent * 0.7)
+    sizes = [rng.uniform(0.25, min(0.9, nominal_extent / 3), 3)
+             for _ in range(n_instances)]
+    ctrs = [rng.uniform(0.4, max(nominal_extent - 0.4, 0.6), 3)
+            * np.array([1, 1, 0.3]) for _ in range(n_instances)]
+    area = (nominal_extent ** 2 + 2 * nominal_extent * wall_h
+            + sum(2 * (s[0] * s[1] + s[0] * s[2] + s[1] * s[2])
+                  for s in sizes))
+    s_geo = float(np.sqrt(n_points / (point_density * area)))
+    ext = nominal_extent * s_geo
+    wall_h *= s_geo
+    sizes = [s * s_geo for s in sizes]
+    ctrs = [c * s_geo for c in ctrs]
+
+    # point budget per surface proportional to its area
+    a_floor = ext ** 2
+    a_wall = ext * wall_h
+    a_insts = [2 * (s[0] * s[1] + s[0] * s[2] + s[1] * s[2]) for s in sizes]
+    a_tot = a_floor + 2 * a_wall + sum(a_insts)
+    n_floor = int(n_points * a_floor / a_tot)
+    n_wall = int(n_points * a_wall / a_tot)
+    n_things = n_points - n_floor - 2 * n_wall
+
+    pts[:n_floor, :3] = _grid_surface(
+        rng, n_floor, (0, 0, 0), 0, 1, 2, ext, ext, pitch)
+    w0 = n_floor
+    pts[w0:w0 + n_wall, :3] = _grid_surface(
+        rng, n_wall, (0, 0, 0), 0, 2, 1, ext, wall_h, pitch)
+    w1 = w0 + n_wall
+    pts[w1:w1 + n_wall, :3] = _grid_surface(
+        rng, n_wall, (0, 0, 0), 1, 2, 0, ext, wall_h, pitch)
 
     sem = np.zeros(n_points, np.int64)
     sem[:n_floor] = 1            # floor
-    sem[n_floor:n_floor + n_wall] = 0  # wall
+    sem[n_floor:w1 + n_wall] = 0  # walls
     inst = np.full(n_points, -1, np.int64)
 
-    per = n_things // n_instances
-    start = n_floor + n_wall
+    start = w1 + n_wall
     labels = []
+    lo = start
+    a_things = sum(a_insts)
     for i in range(n_instances):
-        ctr = rng.uniform(0.5, extent - 0.5, 3) * np.array([1, 1, 0.3])
-        size = rng.uniform(0.2, 0.8, 3)
-        lo = start + i * per
-        hi = start + (i + 1) * per if i < n_instances - 1 else n_points
-        m = hi - lo
-        # sample on the box SURFACE (real indoor scans are 2D manifolds;
-        # keeps voxel downsample ratios realistic)
-        face = rng.randint(0, 6, m)
-        u = rng.uniform(-0.5, 0.5, (m, 3))
-        axis = face // 2
-        sign = (face % 2) * 1.0 - 0.5
-        u[np.arange(m), axis] = sign
-        pts[lo:hi, :3] = ctr + u * size
+        ctr, size = ctrs[i], sizes[i]
+        m = (n_things - (lo - start)) if i == n_instances - 1 else \
+            int(n_things * a_insts[i] / max(a_things, 1e-9))
+        hi = lo + m
+        # box surface, per-face points proportional to face area
+        faces = []
+        fa = [size[1] * size[2], size[1] * size[2],
+              size[0] * size[2], size[0] * size[2],
+              size[0] * size[1], size[0] * size[1]]
+        per_face = [int(m * a / max(sum(fa), 1e-9)) for a in fa]
+        per_face[0] += m - sum(per_face)
+        for f, mf in enumerate(per_face):
+            if mf <= 0:
+                continue
+            axis = f // 2
+            ua, va = [a for a in range(3) if a != axis]
+            org = ctr - size / 2
+            if f % 2 == 1:
+                org = org.copy()
+                org[axis] += size[axis]
+            faces.append(_grid_surface(rng, mf, org, ua, va, axis,
+                                       size[ua], size[va], pitch))
+        pts[lo:hi, :3] = np.concatenate(faces, 0)
         cls = rng.randint(n_stuff, n_classes)
         sem[lo:hi] = cls
         inst[lo:hi] = i
         labels.append(cls - n_stuff)
+        lo = hi
 
     pts[:, 3:] = rng.randn(n_points, 3).astype(np.float32) * 0.5
 
     # superpoints: spatial grid cells, remapped to dense ids
-    cell = extent / max(2, int(np.sqrt(n_superpoints)))
+    cell = ext / max(2, int(np.sqrt(n_superpoints)))
     key = (np.floor(pts[:, 0] / cell).astype(np.int64) * 1000
            + np.floor(pts[:, 1] / cell).astype(np.int64) * 10
            + np.floor(pts[:, 2] / 1.0).astype(np.int64))
@@ -101,7 +174,7 @@ def synthetic_scene(seed: int = 0,
         q2p[k] = pts[m, :3].mean(0)
         q2f[k, labels[k] % feat_dim_2d] += 1.0
     for k in range(n_instances, n_queries2d):
-        q2p[k] = rng.uniform(0, extent, 3)
+        q2p[k] = rng.uniform(0, ext, 3)
 
     return dict(
         scene_id=f"synth{seed:04d}",
