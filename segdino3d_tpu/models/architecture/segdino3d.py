@@ -188,7 +188,9 @@ class SegDINO3D(nn.Module):
 
         outputs["scene_range"] = scene_range
         outputs["sp_valid"] = bb.sp_valid
-        outputs["query_valid"] = q_valid
+        # the decoder may prepend learned queries (num_instance_queries>0)
+        # and then returns the extended validity mask itself
+        outputs.setdefault("query_valid", q_valid)
         outputs["query_sp_idx"] = q_idx
         outputs["sp_pos_wo_elastic"] = bb.sp_pos_wo_elastic
         return outputs, gt

@@ -139,6 +139,14 @@ class ScanNetQueryDecoder(nn.Module):
 
     def setup(self):
         D = self.d_model
+        # activation checkpointing (reference `_checkpoint_forward`,
+        # instance_seg_3d_decoder.py:270-284): remat the per-layer blocks
+        # so the backward pass recomputes attention/FFN activations
+        remat_ffn = (nn.remat(FFN, static_argnums=(2,))
+                     if self.use_activation_checkpoint else FFN)
+        remat_xattn = (nn.remat(StandardCrossAttention, static_argnums=(4,))
+                       if self.use_activation_checkpoint
+                       else StandardCrossAttention)
         self.input_proj_dense = nn.Dense(D, name="input_proj_dense")
         self.input_proj_norm = nn.LayerNorm(name="input_proj_norm")
         if self.num_instance_queries + self.num_semantic_queries > 0:
@@ -162,8 +170,9 @@ class ScanNetQueryDecoder(nn.Module):
             self.out_score = nn.Sequential([nn.Dense(D), nn.relu, nn.Dense(1)])
 
         L = self.num_layers
-        self.ffns = [FFN(D, self.hidden_dim, self.dropout, self.activation_fn,
-                         name=f"ffn_{i}") for i in range(L)]
+        self.ffns = [remat_ffn(D, self.hidden_dim, self.dropout,
+                               self.activation_fn, name=f"ffn_{i}")
+                     for i in range(L)]
 
         if self.add_positional_embedding:
             if self.pos_type == "fourier":
@@ -200,15 +209,15 @@ class ScanNetQueryDecoder(nn.Module):
             self.sa_out_proj = [nn.Dense(D, name=f"sa_out_proj_{i}") for i in range(L)]
             self.sa_norm = [nn.LayerNorm(name=f"sa_norm_{i}") for i in range(L)]
         else:
-            self.plain_ca = [StandardCrossAttention(
+            self.plain_ca = [remat_xattn(
                 D, self.num_heads, self.dropout, name=f"plain_ca_{i}")
                 for i in range(L)]
-            self.plain_sa = [StandardCrossAttention(
+            self.plain_sa = [remat_xattn(
                 D, self.num_heads, self.dropout, name=f"plain_sa_{i}")
                 for i in range(L)]
 
         if self.add_dinox_query_ca:
-            self.dinox_ca = [StandardCrossAttention(
+            self.dinox_ca = [remat_xattn(
                 D, self.num_heads, self.dropout, name=f"dinox_ca_{i}")
                 for i in range(L)]
 
@@ -263,29 +272,56 @@ class ScanNetQueryDecoder(nn.Module):
         mask_feats = self.x_mask2(nn.relu(self.x_mask1(sp_feats)))
         mask_feats = jnp.where(sp_valid[..., None], mask_feats, 0.0)
 
-        queries = self.query_proj2(nn.relu(self.query_proj1(queries_feat)))
+        # queries: learned embeddings first, then projected superpoint
+        # queries (reference ``_get_queries`` concat order, :286-309)
+        nq_learned = self.num_instance_queries + self.num_semantic_queries
+        parts = []
+        if nq_learned > 0:
+            assert not self.add_positional_embedding, (
+                "learned queries carry no 3D reference point; the reference "
+                "only combines num_instance_queries>0 with the plain "
+                "(non-PE) decoder")
+            parts.append(jnp.broadcast_to(
+                self.query_embed.embedding[None].astype(queries_feat.dtype),
+                (B, nq_learned, D)))
+        if self.num_instance_queries == 0:
+            parts.append(self.query_proj2(nn.relu(
+                self.query_proj1(queries_feat))))
+        queries = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        if nq_learned > 0:
+            query_valid = jnp.concatenate(
+                [jnp.ones((B, nq_learned), bool), query_valid]
+                if self.num_instance_queries == 0
+                else [jnp.ones((B, nq_learned), bool)], axis=1)
+            Q = queries.shape[1]
 
         if not self.iter_pred:
             # simple non-iterative path (reference forward_simple :579-604):
-            # unmasked CA/SA/FFN stack, single head at the end
+            # unmasked CA/SA/FFN stack, single head at the end.
+            # NOTE iter_pred=False with positional embeddings is broken in
+            # the reference itself — with PE on its cross_attn_layers are
+            # raw 2*d_model MultiheadAttention modules (:241-242) that
+            # forward_simple calls with d_model inputs (:595); we mirror
+            # the de-facto capability surface (plain decoder only).
             assert not self.add_positional_embedding, \
                 "iter_pred=False implemented for the plain (non-PE) decoder"
             key_block_sp = ~sp_valid[:, None, :]
             key_block_q = ~query_valid[:, None, :]
             for i in range(self.num_layers):
                 queries = self.plain_ca[i](inst_feats, queries,
-                                           blocked=key_block_sp,
-                                           deterministic=deterministic)
+                                           key_block_sp, deterministic)
                 queries = self.plain_sa[i](queries, queries,
-                                           blocked=key_block_q,
-                                           deterministic=deterministic)
-                queries = self.ffns[i](queries, deterministic=deterministic)
+                                           key_block_q, deterministic)
+                queries = self.ffns[i](queries, deterministic)
             cls_p, sem_p, score_p, mask_p, _ = self._head(
                 queries, mask_feats, sp_valid, query_valid, last_flag=True)
             return dict(cls_preds=cls_p, sem_preds=sem_p, masks=mask_p,
                         scores=score_p, centers=None, sizes=None,
-                        aux_outputs=[], hidden_states=queries)
+                        aux_outputs=[], hidden_states=queries,
+                        query_valid=query_valid)
 
+        mha = (jax.checkpoint(multi_head_attention, static_argnums=(3, 5))
+               if self.use_activation_checkpoint else multi_head_attention)
         if self.add_positional_embedding:
             reference_points = queries_pos                       # (B, Q, 3)
             memory_emb = self._pe(sp_pos, scene_range)           # (B, S, D)
@@ -341,14 +377,12 @@ class ScanNetQueryDecoder(nn.Module):
                 # reference scales by (2D/heads)^-0.5 (embed dim of the
                 # concat-PE attention)
                 scale = float(2 * D // self.num_heads) ** -0.5
-                ca_out = multi_head_attention(
-                    q2, k2, v, self.num_heads, blocked=attn_blocked, scale=scale)
+                ca_out = mha(q2, k2, v, self.num_heads, attn_blocked, scale)
                 ca_out = self.ca_out_proj[i](ca_out)
                 queries = self.ca_norm[i](queries + ca_out)
             else:
                 queries = self.plain_ca[i](
-                    inst_feats, queries, blocked=attn_blocked,
-                    deterministic=deterministic)
+                    inst_feats, queries, attn_blocked, deterministic)
 
             # ---------------- self attention ----------------
             key_block = ~query_valid[:, None, :]                  # (B, 1, Q)
@@ -358,14 +392,13 @@ class ScanNetQueryDecoder(nn.Module):
                 kc = self.sa_kcontent_proj[i](queries)
                 kp = self.sa_kpos_proj[i](query_pos)
                 vv = self.sa_v_proj[i](queries)
-                sa_out = multi_head_attention(
-                    qc + qp, kc + kp, vv, self.num_heads, blocked=key_block)
+                sa_out = mha(qc + qp, kc + kp, vv, self.num_heads,
+                             key_block, None)
                 sa_out = self.sa_out_proj[i](sa_out)
                 queries = self.sa_norm[i](queries + sa_out)
             else:
                 queries = self.plain_sa[i](
-                    queries, queries, blocked=key_block,
-                    deterministic=deterministic)
+                    queries, queries, key_block, deterministic)
 
             # ---------------- DINO-X object-query cross attention ----------
             if self.add_dinox_query_ca and dinox_queries is not None:
@@ -383,17 +416,15 @@ class ScanNetQueryDecoder(nn.Module):
                     blocked_2d = jnp.concatenate(
                         [blocked_2d, jnp.zeros((B, Q, 1), bool)], axis=-1)
                     queries = self.dinox_ca[i](
-                        dinox_tokens, queries, blocked=blocked_2d,
-                        deterministic=deterministic)
+                        dinox_tokens, queries, blocked_2d, deterministic)
                 else:
                     kb = (~jnp.concatenate(
                         [dinox_valid, jnp.ones((B, 1), bool)], 1))[:, None, :]
                     queries = self.dinox_ca[i](
-                        dinox_tokens, queries, blocked=kb,
-                        deterministic=deterministic)
+                        dinox_tokens, queries, kb, deterministic)
 
             # ---------------- FFN ----------------
-            queries = self.ffns[i](queries, deterministic=deterministic)
+            queries = self.ffns[i](queries, deterministic)
 
             # ---------------- positional query update ----------------
             if self.add_positional_embedding:
@@ -445,4 +476,5 @@ class ScanNetQueryDecoder(nn.Module):
             sizes=layers_size[-1],
             aux_outputs=aux_outputs,
             hidden_states=queries,
+            query_valid=query_valid,
         )
