@@ -24,6 +24,7 @@ instead of per-pred python loops.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -43,10 +44,18 @@ def encode_gt_ids(semantic: np.ndarray, instance: np.ndarray,
     valid = np.asarray(valid_class_ids)
     for i in np.unique(instance):
         m = instance == i
-        sems = np.unique(semantic[m])
-        assert len(sems) == 1, "instance spans multiple semantic classes"
-        if sems[0] in valid:
-            out[m] = 1000 * int(sems[0]) + int(i)
+        sems, counts = np.unique(semantic[m], return_counts=True)
+        if len(sems) > 1:
+            # real annotations occasionally label one instance with several
+            # semantic classes (the reference asserts here, :491, which
+            # would abort a full-val eval); take the majority class —
+            # identical behavior on clean data
+            warnings.warn(
+                f"gt instance {int(i)} spans semantic classes "
+                f"{sems.tolist()}; using the majority class")
+        sem = int(sems[np.argmax(counts)])
+        if sem in valid:
+            out[m] = 1000 * sem + int(i)
     return out
 
 

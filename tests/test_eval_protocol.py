@@ -115,3 +115,20 @@ class TestMapInstMarkup:
         np.testing.assert_array_equal(inst_out, [-1, -1, 0, 0, 1, -1])
         # sem 5 - 2 = 3 -> thing_ids[3] = 60 ; sem 7-2=5 -> 80
         np.testing.assert_array_equal(sem_out, [-1, -1, 60, 60, 80, -1])
+
+
+class TestNoisyAnnotations:
+    def test_multiclass_instance_majority_vote(self):
+        """Real ScanNet annotation noise: one gt instance labeled with two
+        semantic classes must not abort the eval (majority class wins)."""
+        import warnings as _w
+        from segdino3d_tpu.evaluation.instance_seg_eval import encode_gt_ids
+
+        sem = np.array([3, 3, 3, 5, 3, 3], np.int64)
+        inst = np.array([7, 7, 7, 7, 8, 8], np.int64)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = encode_gt_ids(sem, inst, valid_class_ids=[3, 5])
+        assert any("majority" in str(r.message) for r in rec)
+        np.testing.assert_array_equal(
+            out, [3007, 3007, 3007, 3007, 3008, 3008])
