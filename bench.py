@@ -14,9 +14,18 @@ compute for batch i (double-buffered prefetch thread), mirroring the
 training input pipeline.
 
 ``vs_baseline``: the reference publishes no throughput (BASELINE.md). We
-compare against an estimated 2.5 scenes/sec for the reference's
-single-scene CUDA eval loop on A100 (forward + GPU postproc, bs=1,
-``evaluation/evaluate_3d.py``); the BASELINE.json target is >=5x that.
+compare against an estimated 2.5 scenes/sec (400 ms/scene) for the
+reference's single-scene CUDA eval loop on A100, derived as follows:
+SPFormer — the architecture family this model extends — publishes
+~247 ms/scene end-to-end ScanNet val inference (TITAN Xp, SPFormer paper
+Tab. 5); on an A100 the lighter SPFormer would run ~100-150 ms/scene, and
+SegDINO3D's additions roughly triple that: 2 cm voxels with a 259-channel
+early-fusion backbone input (vs 3-channel), a deeper Res16UNet34C, and
+per-layer DINO-X 2D-query cross-attention. 400 ms/scene (2.5 scenes/s)
+is our central estimate; the true value is plausibly 1.5-4 scenes/s. The
+BASELINE.json target is >=5x that on a v5e-8 — with the caveat that only
+one chip is reachable here, so the 8-chip figure assumes the (embarrassingly
+data-parallel) eval scales ~linearly.
 """
 from __future__ import annotations
 
@@ -53,7 +62,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     # realistic bucketing: production pads voxels to the smallest bucket
     # >= the scene's voxel count (~89k at 2cm for 120k-point scenes)
-    voxel_cap = int(os.environ.get("BENCH_VOXELS", "98304"))
+    voxel_cap = int(os.environ.get("BENCH_VOXELS",
+                                   str(98304 * batch_size)))
 
     # bf16 backbone compute by default: validated loss-free on the e2e
     # overfit scenario (identical instance IoUs vs fp32); override with
@@ -67,7 +77,7 @@ def main():
 
     # block-dense conv layout (ops.block_dense): per-level block edges,
     # 0 = gather-GEMM path for that level
-    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "8,8,8,8,8")
+    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "4,4,4,4,4")
     block_edges = ([int(x) for x in edges_env.split(",")]
                    if edges_env and edges_env != "0" else None)
     # per-level voxel caps as fractions of voxel_cap; 2-manifold scenes
@@ -78,7 +88,7 @@ def main():
     def make_batch(seed):
         recs = [synthetic_scene(seed + i, n_points=n_scene_points,
                                 n_instances=24, n_superpoints=s_cap,
-                                n_classes=180, feat_dim_2d=256, extent=8.0)
+                                n_classes=180, feat_dim_2d=256)
                 for i in range(batch_size)]
         batch = collate(recs, spec)
         return attach_host_plan(batch, recs, spec, voxel_size=0.02,
@@ -125,6 +135,51 @@ def main():
     dt = (time.time() - t0) / iters
     scenes_per_sec = batch_size / dt
 
+    # honest end-to-end pipeline variant: steady-state throughput
+    # *including* collate + host C++ plan building + host->device transfer,
+    # through a double-buffered producer thread (the production loader's
+    # structure). Reported alongside the compute number — through the
+    # development tunnel the transfer adds real latency that a co-located
+    # host would not pay.
+    pipe_line = ""
+    if os.environ.get("BENCH_PIPELINE", "1") != "0":
+        import queue as _q
+        import threading
+
+        raw = [[synthetic_scene(100 + i * batch_size + j,
+                                n_points=n_scene_points, n_instances=24,
+                                n_superpoints=s_cap, n_classes=180,
+                                feat_dim_2d=256)
+                for j in range(batch_size)]
+               for i in range(max(4, iters // 2))]
+        qout: "_q.Queue" = _q.Queue(maxsize=2)
+
+        def produce():
+            for recs in raw:
+                b = collate(recs, spec)
+                b = attach_host_plan(b, recs, spec, voxel_size=0.02,
+                                     voxel_cap=voxel_cap,
+                                     level_cap_ratios=ratios,
+                                     block_edges=block_edges)
+                qout.put(jax.device_put(b))
+            qout.put(None)
+
+        th = threading.Thread(target=produce, daemon=True)
+        t0 = time.time()
+        th.start()
+        n_done = 0
+        while True:
+            b = qout.get()
+            if b is None:
+                break
+            r = fn(variables, b)
+            n_done += 1
+        jax.device_get(r)
+        pipe_dt = (time.time() - t0) / n_done
+        pipe_line = (f" pipeline={batch_size / pipe_dt:.2f} scenes/s "
+                     f"({pipe_dt * 1000:.1f}ms/batch incl. collate+plan+"
+                     f"transfer)")
+
     value = scenes_per_sec  # single chip
     print(json.dumps({
         "metric": "scannet200_val_inference_scenes_per_sec_per_chip",
@@ -133,7 +188,7 @@ def main():
         "vs_baseline": round(value / A100_REFERENCE_SCENES_PER_SEC, 4),
     }))
     print(f"# batch={batch_size} points={n_scene_points} sp={s_cap} "
-          f"step={dt*1000:.1f}ms compile={compile_time:.1f}s",
+          f"step={dt*1000:.1f}ms compile={compile_time:.1f}s{pipe_line}",
           file=sys.stderr)
 
 

@@ -138,8 +138,9 @@ void neighbor_table(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
 // first-occurrence order.  Outputs:
 //   out_vox_slot: (v_cap) int32 = block_id * edge^3 + local linear offset
 //                 (x-major: lx*edge^2 + ly*edge + lz), -1 for invalid voxels
-//   out_block_nbr: (6, block_cap) int32 face-neighbor block ids in the
-//                  order (-x, +x, -y, +y, -z, +z), -1 where absent
+//   out_block_nbr: (26, block_cap) int32 neighbor block ids over the 3x3x3
+//                  shell in itertools.product(-1,0,1)^3 order with the
+//                  center (0,0,0) skipped, -1 where absent
 // Returns the block count (may exceed block_cap — caller must check;
 // slots/neighbors beyond block_cap are not written).
 int64_t block_assign(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
@@ -176,18 +177,23 @@ int64_t block_assign(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
   for (int64_t i = v_valid; i < v_cap; ++i) out_vox_slot[i] = -1;
 
   const int64_t n_blocks = std::min<int64_t>(count, block_cap);
-  static const int32_t kFaces[6][3] = {{-1, 0, 0}, {1, 0, 0},  {0, -1, 0},
-                                       {0, 1, 0},  {0, 0, -1}, {0, 0, 1}};
-  for (int32_t f = 0; f < 6; ++f) {
-    int32_t* row = out_block_nbr + static_cast<int64_t>(f) * block_cap;
-    for (int64_t i = 0; i < n_blocks; ++i) {
-      const int32_t* c = block_coords.data() + 4 * i;
-      const int32_t x = c[1] + kFaces[f][0], y = c[2] + kFaces[f][1],
-                    z = c[3] + kFaces[f][2];
-      int32_t nb = (x < 0 || y < 0 || z < 0) ? -1 : map.find(pack(c[0], x, y, z));
-      row[i] = (nb >= block_cap) ? -1 : nb;
+  int32_t f = 0;
+  for (int32_t dx = -1; dx <= 1; ++dx) {
+    for (int32_t dy = -1; dy <= 1; ++dy) {
+      for (int32_t dz = -1; dz <= 1; ++dz) {
+        if (dx == 0 && dy == 0 && dz == 0) continue;
+        int32_t* row = out_block_nbr + static_cast<int64_t>(f) * block_cap;
+        for (int64_t i = 0; i < n_blocks; ++i) {
+          const int32_t* c = block_coords.data() + 4 * i;
+          const int32_t x = c[1] + dx, y = c[2] + dy, z = c[3] + dz;
+          int32_t nb =
+              (x < 0 || y < 0 || z < 0) ? -1 : map.find(pack(c[0], x, y, z));
+          row[i] = (nb >= block_cap) ? -1 : nb;
+        }
+        for (int64_t i = n_blocks; i < block_cap; ++i) row[i] = -1;
+        ++f;
+      }
     }
-    for (int64_t i = n_blocks; i < block_cap; ++i) row[i] = -1;
   }
   return count;
 }

@@ -1,0 +1,94 @@
+#!/usr/bin/env bash
+# Real-data mAP parity harness (run the moment ScanNet data + released
+# checkpoints are mounted): convert a reference .pth -> eval -> mAP table
+# to compare against readme.md:70-71 (ScanNet v2 64.0 / ScanNet200 40.2
+# val mAP).
+#
+# Usage:
+#   scripts/parity_eval.sh <released_ckpt.pth> [scannet200|scannetv2] \
+#       [data_root] [extra train_3d.py args...]
+#
+# Expects the reference's data layout under <data_root>:
+#   points/ instance_mask/ semantic_mask/ super_points/ *.bin
+#   features_2d/{id}.pth {id}_query_feats.pth {id}_query_3dctr.pth
+#   meta_data/scannetv2_val.txt
+#
+# Smoke test (synthetic stand-ins, no real data needed):
+#   scripts/parity_eval.sh --smoke
+set -e
+cd "$(dirname "$0")/.."
+
+if [ "$1" = "--smoke" ]; then
+  # tiny shapes: run on the CPU backend (remote TPU compiles dominate
+  # at smoke scale); see train_3d.py SEGDINO_FORCE_CPU
+  export SEGDINO_FORCE_CPU=1
+  # end-to-end dry run on synthetic scenes written in the reference's
+  # on-disk layout, with a synthetic "released checkpoint" round-tripped
+  # through the torch importer
+  python - <<'EOF'
+import os, subprocess, sys, tempfile
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+tmp = tempfile.mkdtemp(prefix="parity_smoke_")
+from segdino3d_tpu.data.synthetic import write_scannet_layout
+from test_cli import CONFIG_TMPL   # the known-good synthetic config
+
+data_root = os.path.join(tmp, "data")
+write_scannet_layout(data_root, seeds=[0, 1], n_points=2500,
+                     n_superpoints=48, n_classes=16, n_instances=5,
+                     feat_dim_2d=16)
+cfg = os.path.join(tmp, "cfg.py")
+open(cfg, "w").write(CONFIG_TMPL.replace("{root}", data_root))
+subprocess.check_call(
+    [sys.executable, "train_3d.py", "--config_file", cfg,
+     "--work_dir", os.path.join(tmp, "wd"), "--eval_only",
+     "--num_eval_scenes", "2"])
+print("PARITY SMOKE OK")
+EOF
+  exit 0
+fi
+
+CKPT=$1
+VARIANT=${2:-scannet200}
+DATA_ROOT=${3:-data/scannet200}
+shift 3 || true
+
+case "$VARIANT" in
+  scannet200) CONFIG=configs/prototypes/SegDINO3D_ScanNet200.py ;;
+  scannetv2)  CONFIG=configs/prototypes/SegDINO3D_ScanNetv2.py ;;
+  *) echo "unknown variant $VARIANT"; exit 1 ;;
+esac
+
+WORK_DIR=work_dirs/parity_${VARIANT}
+mkdir -p "$WORK_DIR"
+
+# 1) convert the released torch checkpoint (reports unmapped keys, if any)
+python - "$CKPT" "$WORK_DIR" <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from segdino3d_tpu.train.torch_import import import_checkpoint
+import jax, pickle, os
+params, stats, unmapped = import_checkpoint(sys.argv[1])
+n_leaves = len(jax.tree_util.tree_leaves(params))
+print(f"converted {n_leaves} param tensors; unmapped={len(unmapped)}")
+if unmapped:
+    print("UNMAPPED KEYS (first 20):")
+    for k in unmapped[:20]:
+        print("  ", k)
+with open(os.path.join(sys.argv[2], "converted_params.pkl"), "wb") as f:
+    pickle.dump({"params": params, "batch_stats": stats}, f)
+EOF
+
+# 2) run eval with the converted weights; prints the AP table
+python train_3d.py \
+  --config_file "$CONFIG" \
+  --work_dir "$WORK_DIR" \
+  --eval_only \
+  --load_pretrained_ckpt "$CKPT" \
+  --options data_root="$DATA_ROOT" \
+  "$@"
+
+echo "Compare against the reference's published val numbers:"
+echo "  ScanNet v2:  mAP 64.0 / mAP50 81.5 / mAP25 88.9   (readme.md:70)"
+echo "  ScanNet200:  mAP 40.2 / mAP50 52.4 / mAP25 58.6   (readme.md:71)"

@@ -40,12 +40,25 @@ class BucketPolicy:
 
     @staticmethod
     def default(num_semantic_classes: int = 200,
-                max_points: int = 524288) -> "BucketPolicy":
+                max_points: int = 524288,
+                max_superpoints: int = 8192,
+                max_instances: int = 256,
+                max_queries2d: int = 256) -> "BucketPolicy":
+        """Ladder floors clamp to the configured caps so small test/debug
+        configs don't pad up to production-scale rungs."""
         return BucketPolicy(
-            point_buckets=geometric_ladder(32768, max_points, 1.4, 8192),
-            sp_buckets=geometric_ladder(512, 8192, 1.5, 256),
-            inst_buckets=(32, 64, 128, 256),
-            q2d_buckets=(32, 64, 128, 256),
+            point_buckets=geometric_ladder(
+                min(32768, max_points), max_points, 1.4,
+                min(8192, max_points)),
+            sp_buckets=geometric_ladder(
+                min(512, max_superpoints), max_superpoints, 1.5,
+                min(256, max_superpoints)),
+            inst_buckets=tuple(
+                b for b in (32, 64, 128, 256) if b < max_instances
+            ) + (max_instances,),
+            q2d_buckets=tuple(
+                b for b in (32, 64, 128, 256) if b < max_queries2d
+            ) + (max_queries2d,),
             num_semantic_classes=num_semantic_classes,
         )
 

@@ -54,7 +54,8 @@ def _pad_to(arr: np.ndarray, n: int, axis: int = 0, fill=0):
     return np.pad(arr, widths, constant_values=fill)
 
 
-def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
+def collate(records: List[Dict], spec: PadSpec,
+            device: bool = True) -> SceneBatch:
     b = len(records)
     P, S, I, K = (spec.num_points, spec.num_superpoints,
                   spec.num_instances, spec.num_queries2d)
@@ -77,7 +78,9 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
                 if r.get("points_2dfeats") is not None), 0)
     cq = next((r["query2d_feats"].shape[-1] for r in records
                if r.get("query2d_feats") is not None), 0)
-    p2d = np.zeros((b, P, c2d), np.float32) if any_2d else None
+    p2d_dtype = next((np.asarray(r["points_2dfeats"]).dtype for r in records
+                      if r.get("points_2dfeats") is not None), np.float32)
+    p2d = np.zeros((b, P, c2d), p2d_dtype) if any_2d else None
     q2f = np.zeros((b, K, cq), np.float32) if any_2d else None
     q2p = np.zeros((b, K, 3), np.float32) if any_2d else None
     q2v = np.zeros((b, K), bool) if any_2d else None
@@ -105,7 +108,7 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
             sp_sem_masks[bi, -1, :m.shape[1]] = m[-1]
         scene_idx[bi] = r.get("scene_idx", bi)
         if any_2d and r.get("points_2dfeats") is not None:
-            p2d[bi] = _pad_to(np.asarray(r["points_2dfeats"], np.float32), P)
+            p2d[bi] = _pad_to(np.asarray(r["points_2dfeats"], p2d_dtype), P)
             nq = r["query2d_feats"].shape[0]
             q2f[bi, :nq] = r["query2d_feats"]
             q2p[bi, :nq] = r["query2d_pos"]
@@ -121,10 +124,16 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
                 elastic[bi] = _pad_to(
                     np.asarray(r["points"][:, :3] / vs, np.float32), P)
 
-    import jax.numpy as jnp
+    if device:
+        import jax.numpy as jnp
 
-    def j(x):
-        return None if x is None else jnp.asarray(x)
+        def j(x):
+            return None if x is None else jnp.asarray(x)
+    else:
+        # numpy-leaf mode: process-pool loader workers must not touch a
+        # jax backend; the arrays convert at dispatch in the parent
+        def j(x):
+            return x
 
     return SceneBatch(
         points=j(points), point_valid=j(point_valid),
@@ -140,22 +149,27 @@ def collate(records: List[Dict], spec: PadSpec) -> SceneBatch:
 
 
 def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
-                     *, voxel_size: float, voxel_cap: int,
+                     *, voxel_size: float, voxel_cap: Optional[int] = None,
                      level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
                      num_levels: int = 5, stem_kernel: int = 5,
                      block_edges: Optional[Sequence[int]] = None,
-                     block_caps: Optional[Sequence[int]] = None) -> SceneBatch:
+                     block_caps: Optional[Sequence[int]] = None,
+                     device: bool = True) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
 
     Replicates the backbone wrapper's coordinate policy exactly: elastic
     coords (already voxel units) when present, else xyz/voxel_size, then a
     per-scene min-shift rounded down to a multiple of 16.
 
-    ``block_edges[l]`` > 0 switches level ``l`` to the block-dense conv
-    layout (``ops.block_dense``); block counts are bucketed geometrically
-    unless ``block_caps`` pins them.
+    ``voxel_cap=None`` probes the batch's unique-voxel count and picks a
+    geometric bucket (~1.3x ladder) — bounded padding waste with a bounded
+    number of compiled shapes.  ``block_edges[l]`` > 0 switches level ``l``
+    to the block-dense conv layout (``ops.block_dense``); block counts are
+    bucketed geometrically unless ``block_caps`` pins them.
     """
-    from segdino3d_tpu.ops.host_plan import build_host_plan, host_plan_to_device
+    from segdino3d_tpu.ops.host_plan import (build_host_plan,
+                                             host_plan_to_device,
+                                             probe_voxel_count, voxel_bucket)
 
     b, p = batch.points.shape[:2]
     coords = np.zeros((b, p, 3), np.float32)
@@ -169,28 +183,48 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
         mins = np.floor(c.min(0) / 16.0) * 16.0
         coords[bi, :n] = c - mins
 
+    bidx = np.repeat(np.arange(b, dtype=np.int32), p)
+    if voxel_cap is None:
+        n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
+                                  valid.reshape(-1))
+        voxel_cap = voxel_bucket(n_vox)
     caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
             for r in level_cap_ratios[:num_levels]]
     caps[0] = voxel_cap
-    bidx = np.repeat(np.arange(b, dtype=np.int32), p)
     plan = build_host_plan(coords.reshape(-1, 3), bidx, valid.reshape(-1),
                            caps, num_levels=num_levels,
                            stem_kernel=stem_kernel,
                            block_edges=block_edges, block_caps=block_caps)
     if plan.overflow:
         raise ValueError("host plan capacity overflow — raise voxel caps")
-    uplan, inverse = host_plan_to_device(plan)
+    uplan, inverse = host_plan_to_device(plan, device=device)
     return batch.replace(unet_plan=uplan, plan_inverse_mapping=inverse)
 
 
 def stack_batches(batches: List[SceneBatch]) -> SceneBatch:
     """Stack per-device SceneBatches (incl. host plans) on a new leading
     axis for ``shard_map`` data parallelism: each shard receives leading
-    dim 1 and squeezes it (``make_train_step(stacked_batch=True)``)."""
+    dim 1 and squeezes it (``make_train_step(stacked_batch=True)``).
+
+    Auto-bucketed plan tables (block-dense neighbor tables) may differ in
+    size across shards; they are padded to the per-leaf max first.  Every
+    integer index array in this codebase uses -1 for "absent", so -1 fill
+    keeps padded entries semantically empty (extra block slots are
+    unoccupied and gather as zeros)."""
     import jax
 
-    return jax.tree_util.tree_map(
-        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+    def stack(*xs):
+        arrs = [np.asarray(x) for x in xs]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            tgt = tuple(max(s[d] for s in shapes)
+                        for d in range(len(arrs[0].shape)))
+            fill = -1 if np.issubdtype(arrs[0].dtype, np.integer) else 0
+            arrs = [np.pad(a, [(0, t - s) for s, t in zip(a.shape, tgt)],
+                           constant_values=fill) for a in arrs]
+        return np.stack(arrs)
+
+    return jax.tree_util.tree_map(stack, *batches)
 
 
 def eval_annotation(record: Dict, bg_class_id: int = 200) -> Dict[str, np.ndarray]:

@@ -35,6 +35,28 @@ class ConcatDataset:
             idx - int(self._offsets[di]), rng, sync_scale=sync_scale)
 
 
+def _batch_worker_main(task_q, result_q, payload):
+    """Process-pool worker: builds numpy-leaf batches end to end."""
+    ld = TrainLoader(
+        payload["dataset"], payload["batch_size"], payload["pad_spec"],
+        seed=payload["seed"], sync_scale=payload["sync_scale"],
+        scale_range=payload["scale_range"], num_workers=0,
+        process_index=payload["process_index"],
+        process_count=payload["process_count"],
+        mesh_shards=payload["mesh_shards"],
+        host_plan_cfg=payload["host_plan_cfg"])
+    ld._device = False
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        seq = task[0]
+        try:
+            result_q.put((seq, ld._make_batch(*task[1:])))
+        except BaseException as e:
+            result_q.put((seq, e))
+
+
 class TrainLoader:
     """Infinite shuffled batch loader with sync-scale and prefetch."""
 
@@ -50,11 +72,18 @@ class TrainLoader:
                  process_index: int = 0,
                  process_count: int = 1,
                  mesh_shards: int = 1,
-                 host_plan_cfg: Optional[Dict] = None):
+                 host_plan_cfg: Optional[Dict] = None,
+                 worker_mode: str = "thread"):
         """``mesh_shards`` > 1 emits per-device stacked batches
         (``collate.stack_batches``) for shard_map data parallelism;
         ``host_plan_cfg`` (voxel_size, voxel_cap, ...) attaches host-built
-        sparse-conv plans to every (sub-)batch."""
+        sparse-conv plans to every (sub-)batch.
+
+        ``worker_mode``: "sync" (build batches inline), "thread"
+        (pipelined producer threads + per-record thread pool), or
+        "process" (spawned worker processes building numpy-leaf batches —
+        sidesteps the GIL, which binds this aug pipeline; see
+        tests/test_loader.py and STATUS.md measurements)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_spec = pad_spec
@@ -67,22 +96,33 @@ class TrainLoader:
         self.process_count = process_count
         self.mesh_shards = mesh_shards
         self.host_plan_cfg = host_plan_cfg
+        self.worker_mode = worker_mode if num_workers > 0 else "sync"
+        self._device = True
         if mesh_shards > 1:
             assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
 
     def _index_stream(self) -> Iterator[List[int]]:
         """Epoch-shuffled global index stream, sharded over processes
-        (DistributedSampler semantics: same seed -> disjoint shards)."""
+        (DistributedSampler semantics: same seed -> disjoint shards).
+
+        Leftover indices (shard smaller than, or not divisible by, the
+        batch size) carry over into the next epoch — without this, a shard
+        shorter than one batch would spin forever yielding nothing."""
         epoch = 0
         n = len(self.dataset)
+        carry: List[int] = []
+        pos = 0
         while True:
             rng = np.random.RandomState(self.seed + epoch)
             perm = rng.permutation(n)
-            shard = perm[self.process_index::self.process_count]
-            for i in range(0, len(shard) - self.batch_size + 1,
-                           self.batch_size):
-                yield [int(x) for x in shard[i:i + self.batch_size]], epoch, i
+            carry.extend(int(x)
+                         for x in perm[self.process_index::self.process_count])
+            while len(carry) >= self.batch_size:
+                yield carry[:self.batch_size], epoch, pos
+                carry = carry[self.batch_size:]
+                pos += self.batch_size
             epoch += 1
+            pos = 0
 
     def _make_batch(self, idxs, epoch, pos):
         # batch-level shared scale, identical across processes for the same
@@ -92,17 +132,27 @@ class TrainLoader:
             srng = np.random.RandomState(
                 hash((self.seed, epoch, pos)) % (2 ** 31))
             scale = float(srng.uniform(*self.scale_range))
-        records = []
-        for k, idx in enumerate(idxs):
+
+        def load_one(k_idx):
+            k, idx = k_idx
             rng = np.random.RandomState(
                 hash((self.seed, epoch, pos, k, self.process_index)) % (2 ** 31))
-            records.append(self.dataset.get_record(idx, rng, sync_scale=scale))
+            return self.dataset.get_record(idx, rng, sync_scale=scale)
+
+        if self._record_pool is not None:
+            # record loading is dominated by GIL-releasing work (torch
+            # tensor IO, numpy ufuncs, scipy elastic interpolation), so a
+            # thread pool scales it
+            records = list(self._record_pool.map(load_one, enumerate(idxs)))
+        else:
+            records = [load_one(ki) for ki in enumerate(idxs)]
 
         def one(recs):
-            b = collate(recs, self.pad_spec)
+            b = collate(recs, self.pad_spec, device=self._device)
             if self.host_plan_cfg:
                 from segdino3d_tpu.data.collate import attach_host_plan
                 b = attach_host_plan(b, recs, self.pad_spec,
+                                     device=self._device,
                                      **self.host_plan_cfg)
             return b
 
@@ -113,48 +163,161 @@ class TrainLoader:
         return stack_batches([one(records[i * per:(i + 1) * per])
                               for i in range(self.mesh_shards)])
 
+    def _iter_process(self):
+        """Spawned worker processes each build complete numpy-leaf batches
+        (records + collate + host C++ plan) — full parallelism for the
+        GIL-bound augmentation/collate pipeline.  Workers never touch a
+        jax backend (``device=False`` batches); arrays upload at dispatch
+        in this process.  Batch order is preserved via sequence numbers."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        n_proc = self.num_workers
+        task_q = ctx.Queue()
+        result_q = ctx.Queue()
+        payload = dict(
+            dataset=self.dataset, batch_size=self.batch_size,
+            pad_spec=self.pad_spec, seed=self.seed,
+            sync_scale=self.sync_scale, scale_range=self.scale_range,
+            process_index=self.process_index,
+            process_count=self.process_count,
+            mesh_shards=self.mesh_shards,
+            host_plan_cfg=self.host_plan_cfg)
+        procs = [ctx.Process(target=_batch_worker_main,
+                             args=(task_q, result_q, payload), daemon=True)
+                 for _ in range(n_proc)]
+        for p in procs:
+            p.start()
+        stream = enumerate(self._index_stream())
+        in_flight = 0
+        try:
+            for _ in range(n_proc + self.prefetch):
+                seq, item = next(stream)
+                task_q.put((seq, *item))
+                in_flight += 1
+            pending = {}
+            want = 0
+            while True:
+                while want not in pending:
+                    seq, b = result_q.get()
+                    pending[seq] = b
+                    in_flight -= 1
+                b = pending.pop(want)
+                if isinstance(b, BaseException):
+                    raise b
+                seq, item = next(stream)
+                task_q.put((seq, *item))
+                in_flight += 1
+                yield b
+                want += 1
+        finally:
+            for p in procs:
+                p.terminate()
+
+    @property
+    def _record_pool(self):
+        if self.num_workers <= 1 or self.worker_mode != "thread":
+            return None
+        pool = getattr(self, "_pool_obj", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            self._pool_obj = pool
+        return pool
+
     def __iter__(self):
-        if self.num_workers <= 0:
+        if self.worker_mode == "sync" or self.num_workers <= 0:
             for idxs, epoch, pos in self._index_stream():
                 yield self._make_batch(idxs, epoch, pos)
             return
+        if self.worker_mode == "process":
+            yield from self._iter_process()
+            return
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # pipelined producers: `prefetch` batch builders run concurrently
+        # (each fanning record loads over the shared thread pool); a
+        # sequence-numbered reorder dict preserves the deterministic batch
+        # order of the single-threaded stream.
+        n_prod = max(1, min(self.prefetch, 4))
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch + n_prod)
         stop = threading.Event()
+        lock = threading.Lock()
+        stream = enumerate(self._index_stream())
 
         def producer():
-            for item in self._index_stream():
-                if stop.is_set():
+            while not stop.is_set():
+                with lock:
+                    seq, item = next(stream)
+                try:
+                    q.put((seq, self._make_batch(*item)))
+                except BaseException as e:   # surface in the consumer
+                    q.put((seq, e))
                     return
-                q.put(self._make_batch(*item))
 
-        threads = [threading.Thread(target=producer, daemon=True)]
-        # NOTE: a single producer preserves batch order; scale parallelism
-        # comes from per-batch record loading below when needed.
+        threads = [threading.Thread(target=producer, daemon=True)
+                   for _ in range(n_prod)]
         for t in threads:
             t.start()
         try:
+            pending = {}
+            want = 0
             while True:
-                yield q.get()
+                while want not in pending:
+                    seq, b = q.get()
+                    pending[seq] = b
+                b = pending.pop(want)
+                if isinstance(b, BaseException):
+                    raise b
+                yield b
+                want += 1
         finally:
             stop.set()
 
 
 class EvalLoader:
-    """Sequential bs=1 eval loader (reference evaluates single-card,
-    ``evaluate_3d.py:35,45``); yields (record, SceneBatch)."""
+    """Sequential batched eval loader; yields (records, SceneBatch).
 
-    def __init__(self, dataset, pad_spec: PadSpec, limit: Optional[int] = None):
+    The reference evaluates bs=1 single-card (``evaluate_3d.py:35,45``) —
+    this lifts that: scenes are grouped ``batch_size`` at a time, padded
+    either to a fixed ``pad_spec`` or (with ``bucket_policy``) to the
+    smallest bucketed capacities covering the batch, which bounds padding
+    waste while keeping the number of compiled shapes small.
+    ``host_plan_cfg`` attaches host-built sparse-conv plans (voxel caps
+    auto-bucketed when the cfg omits ``voxel_cap``)."""
+
+    def __init__(self, dataset, pad_spec: Optional[PadSpec] = None,
+                 limit: Optional[int] = None, batch_size: int = 1,
+                 bucket_policy=None, host_plan_cfg: Optional[Dict] = None):
+        assert pad_spec is not None or bucket_policy is not None
         self.dataset = dataset
         self.pad_spec = pad_spec
         self.limit = limit
+        self.batch_size = batch_size
+        self.bucket_policy = bucket_policy
+        self.host_plan_cfg = host_plan_cfg
 
     def __len__(self):
+        n = len(self.dataset)
+        n = min(n, self.limit) if self.limit else n
+        return -(-n // self.batch_size)
+
+    @property
+    def num_scenes(self):
         n = len(self.dataset)
         return min(n, self.limit) if self.limit else n
 
     def __iter__(self):
         rng = np.random.RandomState(0)
-        for i in range(len(self)):
-            rec = self.dataset.get_record(i, rng)
-            yield rec, collate([rec], self.pad_spec)
+        n = self.num_scenes
+        for lo in range(0, n, self.batch_size):
+            recs = [self.dataset.get_record(i, rng)
+                    for i in range(lo, min(lo + self.batch_size, n))]
+            spec = (self.bucket_policy.spec_for(recs)
+                    if self.bucket_policy is not None else self.pad_spec)
+            batch = collate(recs, spec)
+            if self.host_plan_cfg:
+                from segdino3d_tpu.data.collate import attach_host_plan
+                batch = attach_host_plan(batch, recs, spec,
+                                         **self.host_plan_cfg)
+            yield recs, batch

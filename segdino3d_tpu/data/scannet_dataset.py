@@ -62,6 +62,7 @@ class _ScanNetBase:
                  loss_branch: str = "cdn",
                  skip_empty_scenes: bool = False,
                  voxel_size: float = 0.02,
+                 feats_2d_dtype: str = "float32",
                  num_semantic_classes: Optional[int] = None):
         if num_semantic_classes is not None:
             # override the dataset-default label space (tiny test configs)
@@ -73,6 +74,10 @@ class _ScanNetBase:
         self.use_super_points = use_super_points
         self.adjust_class_ids = adjust_class_ids
         self.exclude_stuffs = exclude_stuffs
+        # "float16" halves host-side memory traffic of the dominant array
+        # (the N x 256 DINO-X point features); the backbone computes in
+        # bf16/f32 regardless, so precision is unaffected in practice
+        self.feats_2d_dtype = np.dtype(feats_2d_dtype)
         self.root_points_2dfeats = root_points_2dfeats
         self.dropout_rate_2dfeats = dropout_rate_2dfeats
         self.mode_fuse = mode_fuse_multi_scale_2d_feats
@@ -123,7 +128,7 @@ class _ScanNetBase:
             pf = torch.stack(list(pf), 0).mean(0) if isinstance(pf, (list, tuple)) else pf
         else:
             raise NotImplementedError(self.mode_fuse)
-        pf = pf.float().numpy()
+        pf = pf.float().numpy().astype(self.feats_2d_dtype, copy=False)
         qf = qf.float().numpy()
         qp = qp.float().numpy() if hasattr(qp, "numpy") else np.asarray(qp, np.float32)
         if self.dropout_rate_2dfeats > 0 and self.scene_set == "train":

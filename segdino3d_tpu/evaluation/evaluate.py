@@ -22,38 +22,43 @@ from segdino3d_tpu.evaluation.evaluator import InstanceSeg3DEvaluator
 
 def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
                     n_stuff: int = 2):
-    """Jitted single-scene predict: batch (B=1) -> instance/sem/pan preds."""
+    """Jitted batched predict: every scene in the batch is post-processed
+    on device (the reference locks eval to bs=1, ``baseline3d.py:335``;
+    our post-processing is per-scene static-shaped, so it vmaps)."""
+
+    def one_scene(out_b, sp_ids, point_valid, points):
+        inst = predict_instance(
+            out_b["cls_preds"], out_b["masks"], out_b["query_valid"],
+            out_b["sp_valid"], sp_ids, point_valid, points,
+            test_cfg.get("inst_score_thr", 0.0), test_cfg,
+            centers=out_b.get("centers"), sizes=out_b.get("sizes"),
+            scores_q=out_b.get("scores"),
+            filter_outofbox=filter_outofbox)
+        sem = predict_semantic(out_b["sem_preds"], sp_ids)
+        pan_inst = predict_instance(
+            out_b["cls_preds"], out_b["masks"], out_b["query_valid"],
+            out_b["sp_valid"], sp_ids, point_valid, points,
+            test_cfg.get("pan_score_thr", 0.5), test_cfg,
+            centers=out_b.get("centers"), sizes=out_b.get("sizes"),
+            scores_q=out_b.get("scores"),
+            filter_outofbox=filter_outofbox)
+        pan_sem, pan_map = predict_panoptic(
+            out_b["sem_preds"], pan_inst, sp_ids, n_stuff,
+            test_cfg.get("npoint_thr", 100))
+        return inst, sem, pan_sem, pan_map
 
     @jax.jit
     def predict(variables, batch):
         outputs, _ = model.apply(variables, batch, False)
-        b0 = 0
-        inst = predict_instance(
-            outputs["cls_preds"][b0], outputs["masks"][b0],
-            outputs["query_valid"][b0], outputs["sp_valid"][b0],
-            batch.superpoint_ids[b0], batch.point_valid[b0],
-            batch.points[b0, :, :3],
-            test_cfg.get("inst_score_thr", 0.0), test_cfg,
-            centers=None if outputs["centers"] is None else outputs["centers"][b0],
-            sizes=None if outputs["sizes"] is None else outputs["sizes"][b0],
-            scores_q=None if outputs["scores"] is None else outputs["scores"][b0],
-            filter_outofbox=filter_outofbox)
-        sem = predict_semantic(outputs["sem_preds"][b0],
-                               batch.superpoint_ids[b0])
-        pan_inst = predict_instance(
-            outputs["cls_preds"][b0], outputs["masks"][b0],
-            outputs["query_valid"][b0], outputs["sp_valid"][b0],
-            batch.superpoint_ids[b0], batch.point_valid[b0],
-            batch.points[b0, :, :3],
-            test_cfg.get("pan_score_thr", 0.5), test_cfg,
-            centers=None if outputs["centers"] is None else outputs["centers"][b0],
-            sizes=None if outputs["sizes"] is None else outputs["sizes"][b0],
-            scores_q=None if outputs["scores"] is None else outputs["scores"][b0],
-            filter_outofbox=filter_outofbox)
-        pan_sem, pan_map = predict_panoptic(
-            outputs["sem_preds"][b0], pan_inst, batch.superpoint_ids[b0],
-            n_stuff, test_cfg.get("npoint_thr", 100))
-        return inst, sem, pan_sem, pan_map
+        per_scene = {k: outputs[k] for k in
+                     ("cls_preds", "masks", "sem_preds", "query_valid",
+                      "sp_valid")}
+        for k in ("centers", "sizes", "scores"):
+            if outputs.get(k) is not None:
+                per_scene[k] = outputs[k]
+        return jax.vmap(one_scene)(
+            per_scene, batch.superpoint_ids, batch.point_valid,
+            batch.points[..., :3])
 
     return predict
 
@@ -66,20 +71,24 @@ def evaluate(model, variables, eval_loader, evaluator: InstanceSeg3DEvaluator,
     evaluator.reset()
     log = logger.info if logger else print
     n = len(eval_loader)
-    for i, (record, batch) in enumerate(eval_loader):
+    for i, (records, batch) in enumerate(eval_loader):
+        if isinstance(records, dict):   # legacy single-record loaders
+            records = [records]
         inst, sem, pan_sem, pan_map = predict(variables, batch)
-        valid = np.asarray(inst.valid)
-        n_pts = record["points"].shape[0]
-        pred = dict(
-            pts_instance_masks=np.asarray(inst.point_masks)[valid][:, :n_pts],
-            instance_labels=np.asarray(inst.labels)[valid],
-            instance_scores=np.asarray(inst.scores)[valid],
-            pts_semantic_mask=np.asarray(sem)[:n_pts],
-            pts_panoptic_sem=np.asarray(pan_sem)[:n_pts],
-            pts_panoptic_inst=np.asarray(pan_map)[:n_pts],
-        )
-        ann = eval_annotation(record, bg_class_id)
-        evaluator.process(ann, pred)
+        for bi, record in enumerate(records):
+            valid = np.asarray(inst.valid[bi])
+            n_pts = record["points"].shape[0]
+            pred = dict(
+                pts_instance_masks=np.asarray(
+                    inst.point_masks[bi])[valid][:, :n_pts],
+                instance_labels=np.asarray(inst.labels[bi])[valid],
+                instance_scores=np.asarray(inst.scores[bi])[valid],
+                pts_semantic_mask=np.asarray(sem[bi])[:n_pts],
+                pts_panoptic_sem=np.asarray(pan_sem[bi])[:n_pts],
+                pts_panoptic_inst=np.asarray(pan_map[bi])[:n_pts],
+            )
+            ann = eval_annotation(record, bg_class_id)
+            evaluator.process(ann, pred)
         if progress and (i % 25 == 0 or i == n - 1):
-            log(f"eval [{i + 1}/{n}]")
+            log(f"eval batch [{i + 1}/{n}]")
     return evaluator.evaluate()

@@ -35,6 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# rows of the (26, B) shell-neighbor table: itertools.product(-1,0,1)^3
+# order with the center skipped; face directions land at these rows
+FACE_XM, FACE_YM, FACE_ZM, FACE_ZP, FACE_YP, FACE_XP = 4, 10, 12, 13, 15, 21
+
+
 @jax.tree_util.register_pytree_node_class
 class BlockTables:
     """Per-level block-dense layout tables.
@@ -45,7 +50,7 @@ class BlockTables:
     def __init__(self, vox_slot: jnp.ndarray, block_nbr: jnp.ndarray,
                  edge: int):
         self.vox_slot = vox_slot    # (V,) int32 block*edge^3 + local, -1 inv.
-        self.block_nbr = block_nbr  # (6, B) int32 face nbrs (-x,+x,-y,+y,-z,+z)
+        self.block_nbr = block_nbr  # (26, B) int32 3x3x3-shell neighbors
         self.edge = edge
 
     @property
@@ -68,11 +73,14 @@ def _take0(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def scatter_to_dense(feats: jnp.ndarray, tables: BlockTables) -> jnp.ndarray:
-    """(V, C) voxel rows -> (B*edge^3, C) flat dense rows (invalid -> dump)."""
+    """(V, C) voxel rows -> (B*edge^3, C) flat dense rows.
+
+    Invalid slots (-1) remap past the end and ``mode='drop'`` discards
+    them — no dump row, so no extra full-size slice copy."""
     n_dense = tables.num_blocks * tables.edge ** 3
     slot = jnp.where(tables.vox_slot < 0, n_dense, tables.vox_slot)
-    return jnp.zeros((n_dense + 1, feats.shape[1]), feats.dtype) \
-        .at[slot].set(feats, mode="drop")[:n_dense]
+    return jnp.zeros((n_dense, feats.shape[1]), feats.dtype) \
+        .at[slot].set(feats, mode="drop")
 
 
 def gather_from_dense(dense: jnp.ndarray, tables: BlockTables) -> jnp.ndarray:
@@ -84,8 +92,7 @@ def occupancy(tables: BlockTables, valid: jnp.ndarray) -> jnp.ndarray:
     """(B*edge^3,) bool occupied-cell mask from the voxel validity mask."""
     n_dense = tables.num_blocks * tables.edge ** 3
     slot = jnp.where((tables.vox_slot < 0) | ~valid, n_dense, tables.vox_slot)
-    return jnp.zeros((n_dense + 1,), bool).at[slot].set(
-        True, mode="drop")[:n_dense]
+    return jnp.zeros((n_dense,), bool).at[slot].set(True, mode="drop")
 
 
 def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
@@ -98,7 +105,9 @@ def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
     and corners).  Missing neighbors (-1) contribute zeros = absent voxels.
     """
     h = halo
-    nxm, nxp, nym, nyp, nzm, nzp = (block_nbr[i] for i in range(6))
+    nxm, nxp = block_nbr[FACE_XM], block_nbr[FACE_XP]
+    nym, nyp = block_nbr[FACE_YM], block_nbr[FACE_YP]
+    nzm, nzp = block_nbr[FACE_ZM], block_nbr[FACE_ZP]
 
     zm = _take0(blocks[:, :, :, -h:, :], nzm)        # neighbor's high-z slab
     zp = _take0(blocks[:, :, :, :h, :], nzp)
@@ -113,15 +122,35 @@ def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
     return jnp.concatenate([xm, p, xp], axis=1)
 
 
+_CHUNK_BUDGET_BYTES = int(
+    float(__import__("os").environ.get("SEGDINO_CONV_CHUNK_MB", "384"))
+    * 2 ** 20)
+
+
+def _conv_valid(padded, weights, k, cin, cout, out_dtype):
+    w = weights.reshape(k, k, k, cin, cout).astype(padded.dtype)
+    return jax.lax.conv_general_dilated(
+        padded, w, window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.promote_types(out_dtype, jnp.float32)
+        ).astype(out_dtype)
+
+
 def dense_subm_conv(dense_flat: jnp.ndarray, occ: jnp.ndarray,
                     tables: BlockTables,
                     weights: jnp.ndarray) -> jnp.ndarray:
     """Submanifold conv on flat dense rows.
 
+    Large inputs are processed in block chunks (``lax.map``): per chunk
+    the 3x3x3 neighbor-block shell is gathered as whole contiguous blocks
+    and the halo-padded tile assembled from static slices, bounding the
+    transient padded buffer to ``SEGDINO_CONV_CHUNK_MB`` regardless of
+    scene size/batch.
+
     Args:
         dense_flat: (B*edge^3, Cin) flat block-dense features.
         occ: (B*edge^3,) bool occupied-cell mask.
-        tables: block layout (face-neighbor table for the halo exchange).
+        tables: block layout (shell-neighbor table for the halo exchange).
         weights: (k^3, Cin, Cout) in the canonical ``kernel_offsets`` order
             — ``itertools.product`` over (dx, dy, dz), x slowest — which is
             exactly a (k, k, k, Cin, Cout) reshape with index
@@ -133,16 +162,83 @@ def dense_subm_conv(dense_flat: jnp.ndarray, occ: jnp.ndarray,
     k = round(n_off ** (1.0 / 3.0))
     assert k ** 3 == n_off, (k, n_off)
     h = (k - 1) // 2
+    assert h <= tables.edge, (k, tables.edge)
     b, edge = tables.num_blocks, tables.edge
 
-    x = dense_flat.reshape(b, edge, edge, edge, cin)
-    padded = halo_pad(x, tables.block_nbr, h)
-    w = weights.reshape(k, k, k, cin, cout).astype(dense_flat.dtype)
-    out = jax.lax.conv_general_dilated(
-        padded, w, window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.promote_types(dense_flat.dtype,
-                                                 jnp.float32)
-        ).astype(dense_flat.dtype)
-    out = out.reshape(b * edge ** 3, cout)
+    core_bytes = b * edge ** 3 * cin * dense_flat.dtype.itemsize
+    if cin > 192 and core_bytes > 2 * _CHUNK_BUDGET_BYTES:
+        # conv is linear over input channels: split wide-Cin convs (the
+        # 259-channel early-fusion stem) so every Cin-sized temporary
+        # halves; exact by linearity
+        half = cin // 2
+        lo = dense_subm_conv(dense_flat[:, :half], occ, tables,
+                             weights[:, :half, :])
+        hi = dense_subm_conv(dense_flat[:, half:], occ, tables,
+                             weights[:, half:, :])
+        return lo + hi
+
+    padded_block_bytes = (edge + 2 * h) ** 3 * cin * dense_flat.dtype.itemsize
+    chunk = max(64, _CHUNK_BUDGET_BYTES // max(padded_block_bytes, 1))
+    if chunk >= b:
+        x = dense_flat.reshape(b, edge, edge, edge, cin)
+        padded = halo_pad(x, tables.block_nbr, h)
+        out = _conv_valid(padded, weights, k, cin, cout, dense_flat.dtype)
+        out = out.reshape(b * edge ** 3, cout)
+        return jnp.where(occ[:, None], out, 0.0)
+    return _chunked_conv(dense_flat, occ, tables, weights, k, h, chunk)
+
+
+def _chunked_conv(dense_flat, occ, tables, weights, k, h, chunk):
+    """Chunked conv: gather exactly the halo slabs each shell direction
+    contributes (pre-sliced once per conv), so traffic stays ~2-3x the
+    core instead of 27 full neighbor blocks."""
+    import itertools as _it
+
+    n_off, cin, cout = weights.shape
+    b, edge = tables.num_blocks, tables.edge
+    e3 = edge ** 3
+    n_chunks = -(-b // chunk)
+    b_pad = n_chunks * chunk
+
+    def padb(x):
+        return jnp.concatenate(
+            [x, jnp.full((x.shape[0], b_pad - x.shape[1]), -1, jnp.int32)],
+            axis=1) if b_pad != b else x
+
+    sl = {-1: slice(edge - h, edge), 0: slice(0, edge), 1: slice(0, h)}
+    shell = [d for d in _it.product((-1, 0, 1), repeat=3) if d != (0, 0, 0)]
+    core5 = dense_flat.reshape(b, edge, edge, edge, cin)
+    # pre-slice the slab each direction contributes: the +x neighbor fills
+    # the center's high-x halo with its own low-x cells = sl[+1] etc.
+    slabs = [core5[:, sl[dx], sl[dy], sl[dz], :].reshape(b, -1)
+             for (dx, dy, dz) in shell]
+    nbr = padb(tables.block_nbr)          # (26, b_pad)
+    self_ids = padb(jnp.arange(b, dtype=jnp.int32)[None])[0]
+    core = dense_flat.reshape(b, e3 * cin)
+
+    def one_chunk(args):
+        ids_self, ids_nbr = args          # (chunk,), (26, chunk)
+        parts = {(0, 0, 0): _take0(core, ids_self)
+                 .reshape(chunk, edge, edge, edge, cin)}
+        for di, d in enumerate(shell):
+            dxe = h if d[0] else edge
+            dye = h if d[1] else edge
+            dze = h if d[2] else edge
+            parts[d] = _take0(slabs[di], ids_nbr[di]).reshape(
+                chunk, dxe, dye, dze, cin)
+        xs = []
+        for dx in (-1, 0, 1):
+            ys = []
+            for dy in (-1, 0, 1):
+                zs = [parts[(dx, dy, dz)] for dz in (-1, 0, 1)]
+                ys.append(jnp.concatenate(zs, axis=3))
+            xs.append(jnp.concatenate(ys, axis=2))
+        padded = jnp.concatenate(xs, axis=1)
+        out = _conv_valid(padded, weights, k, cin, cout, dense_flat.dtype)
+        return out.reshape(chunk * e3, cout)
+
+    outs = jax.lax.map(one_chunk, (self_ids.reshape(n_chunks, chunk),
+                                   nbr.reshape(26, n_chunks, chunk)
+                                   .transpose(1, 0, 2)))
+    out = outs.reshape(b_pad * e3, cout)[:b * e3]
     return jnp.where(occ[:, None], out, 0.0)

@@ -55,6 +55,31 @@ def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def probe_voxel_count(coords_f: np.ndarray, batch_idx: np.ndarray,
+                      valid: np.ndarray) -> int:
+    """Count unique voxels (one cheap dedup pass) — used to pick bucketed
+    static capacities before building the full plan."""
+    lib = _load()
+    n = coords_f.shape[0]
+    ijk = np.maximum(np.floor(coords_f).astype(np.int32), 0)
+    coords4 = np.ascontiguousarray(
+        np.concatenate([batch_idx.astype(np.int32)[:, None], ijk], axis=1))
+    valid_u8 = np.ascontiguousarray(valid.astype(np.uint8))
+    inverse = np.empty(n, np.int32)
+    vox = np.zeros((1, 4), np.int32)
+    return int(lib.voxel_dedup(
+        _i32p(coords4), valid_u8.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), n, _i32p(inverse), _i32p(vox), 0))
+
+
+def voxel_bucket(n: int) -> int:
+    """Smallest rung of a ~1.3x geometric ladder >= n (voxel capacities)."""
+    m = 2048
+    while m < n:
+        m = ((max(m + 2048, int(m * 1.3)) + 2047) // 2048) * 2048
+    return m
+
+
 def block_bucket(n: int) -> int:
     """Smallest rung of a fixed ~1.25x geometric ladder >= n (bounds the
     number of distinct compiled shapes across batches)."""
@@ -73,7 +98,7 @@ class HostLevel(NamedTuple):
     # see ops.block_dense
     num_blocks: int = 0
     vox_slot: Optional[np.ndarray] = None    # (V,) int32
-    block_nbr: Optional[np.ndarray] = None   # (6, B_cap) int32
+    block_nbr: Optional[np.ndarray] = None   # (26, B_cap) int32
     block_edge: int = 0
 
 
@@ -139,7 +164,7 @@ def build_host_plan(coords_f: np.ndarray,
             # trim to a geometric bucket after (bounds recompile count)
             b_cap = int(block_caps[li]) if fixed else v_cap
             vox_slot = np.empty(v_cap, np.int32)
-            block_nbr = np.empty((6, b_cap), np.int32)
+            block_nbr = np.empty((26, b_cap), np.int32)
             n_blocks = int(lib.block_assign(
                 _i32p(level_coords), v_cap, level_cnt, edge,
                 _i32p(vox_slot), _i32p(block_nbr), b_cap))
@@ -184,12 +209,17 @@ def build_host_plan(coords_f: np.ndarray,
                     overflow=overflow)
 
 
-def host_plan_to_device(plan: HostPlan):
-    """HostPlan -> (UNetPlan pytree, inverse_mapping) of jnp arrays.
+def host_plan_to_device(plan: HostPlan, device: bool = True):
+    """HostPlan -> (UNetPlan pytree, inverse_mapping) of jnp arrays
+    (or numpy arrays with ``device=False`` — used by process-pool loader
+    workers, which must not initialize a jax backend).
 
     The resulting Levels carry no hash (host already resolved every index).
     """
-    import jax.numpy as jnp
+    if device:
+        import jax.numpy as jnp
+    else:
+        jnp = np   # drop-in: only asarray/arange/zeros/int32/uint32 used
 
     from segdino3d_tpu.models.backbone.res16unet import UNetPlan
     from segdino3d_tpu.ops.sparse_conv import Level

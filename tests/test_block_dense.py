@@ -51,7 +51,12 @@ class TestBlockDenseConv:
             assert int(occ.sum()) == plan.levels[li].num_voxels
 
     @pytest.mark.parametrize("k", [3, 5])
-    def test_conv_parity_vs_gather(self, k):
+    @pytest.mark.parametrize("chunk_mb", [None, 0.05])
+    def test_conv_parity_vs_gather(self, k, chunk_mb, monkeypatch):
+        if chunk_mb is not None:
+            # force the chunked (lax.map over block shells) path
+            monkeypatch.setattr(BD, "_CHUNK_BUDGET_BYTES",
+                                int(chunk_mb * 2 ** 20))
         plan, uplan = _plan()
         rng = np.random.RandomState(2)
         for li in (0, 1):   # one edge-8 and one edge-4 level
@@ -80,7 +85,7 @@ class TestBlockDenseConv:
 
     def test_halo_pad_zero_outside(self):
         """Cells past every face of an isolated block read as zero."""
-        nbr = jnp.full((6, 1), -1, jnp.int32)
+        nbr = jnp.full((26, 1), -1, jnp.int32)
         x = jnp.arange(1 * 4 * 4 * 4 * 2, dtype=jnp.float32).reshape(1, 4, 4, 4, 2)
         p = BD.halo_pad(x, nbr, 1)
         assert p.shape == (1, 6, 6, 6, 2)
@@ -92,9 +97,9 @@ class TestBlockDenseConv:
     def test_halo_pad_neighbor_slabs(self):
         """Two blocks adjacent along +x exchange their boundary slabs."""
         # block 0 at block-coord 0, block 1 at +x
-        nbr = np.full((6, 2), -1, np.int32)
-        nbr[1, 0] = 1   # block0's +x neighbor is block1
-        nbr[0, 1] = 0   # block1's -x neighbor is block0
+        nbr = np.full((26, 2), -1, np.int32)
+        nbr[BD.FACE_XP, 0] = 1   # block0's +x neighbor is block1
+        nbr[BD.FACE_XM, 1] = 0   # block1's -x neighbor is block0
         rng = np.random.RandomState(3)
         x = jnp.asarray(rng.randn(2, 4, 4, 4, 3).astype(np.float32))
         p = BD.halo_pad(x, jnp.asarray(nbr), 1)

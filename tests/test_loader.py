@@ -110,3 +110,40 @@ class TestBucketing:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             pol.spec_for([rec])
+
+
+class TestWorkerModes:
+    def test_process_mode_matches_sync(self, tmp_path):
+        """Process-pool workers must yield the identical batch stream as
+        the synchronous builder (numpy-leaf batches, same determinism)."""
+        import jax
+        from segdino3d_tpu.data.loader import TrainLoader
+        from segdino3d_tpu.data.collate import PadSpec
+        from segdino3d_tpu.data.synthetic import write_scannet_layout
+        from segdino3d_tpu.registry import DATASETS
+        import segdino3d_tpu.data.scannet_dataset  # noqa: F401
+        import segdino3d_tpu.data.transforms  # noqa: F401
+
+        root = str(tmp_path / "d")
+        write_scannet_layout(root, seeds=[0, 1, 2], n_points=1500,
+                             n_superpoints=24, n_classes=16, n_instances=4,
+                             feat_dim_2d=8)
+        ds = DATASETS.build(dict(
+            type="ScanNet200InstanceSeg3D", scene_set="train",
+            root_scenes=root, use_super_points=True, adjust_class_ids=False,
+            exclude_stuffs=False,
+            root_points_2dfeats=root + "/features_2d",
+            num_semantic_classes=16,
+            transform_cfg=dict(type="Scannet200Transforms", voxel_size=0.05)))
+        spec = PadSpec(2048, 32, 8, 16, 16)
+        kw = dict(batch_size=2, pad_spec=spec, seed=3,
+                  host_plan_cfg=dict(voxel_size=0.05, voxel_cap=4096,
+                                     block_edges=(4, 4, 4, 4, 4)))
+        sync = TrainLoader(ds, num_workers=0, **kw)
+        proc = TrainLoader(ds, num_workers=2, worker_mode="process", **kw)
+        it_s, it_p = iter(sync), iter(proc)
+        for _ in range(3):
+            bs, bp = next(it_s), next(it_p)
+            for a, b in zip(jax.tree_util.tree_leaves(bs),
+                            jax.tree_util.tree_leaves(bp)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

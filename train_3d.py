@@ -26,6 +26,10 @@ def get_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--load_pretrained_ckpt", default=None)
     p.add_argument("--num_eval_scenes", type=int, default=None)
+    p.add_argument("--eval_batch_size", type=int, default=None,
+                   help="scenes per eval step (default: cfg "
+                        "data.eval_batch_size or 1); scenes are padded to "
+                        "bucketed capacities")
     p.add_argument("--options", nargs="*", default=None,
                    help="key=value config overrides (nested keys with dots)")
     return p.parse_args()
@@ -45,6 +49,12 @@ def parse_options(opts):
 
 
 def main():
+    # the axon sitecustomize registers the TPU backend at interpreter
+    # startup, so env vars alone don't switch platforms (tests/conftest.py)
+    if os.environ.get("SEGDINO_FORCE_CPU"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     args = get_args()
 
     import jax
@@ -52,6 +62,7 @@ def main():
 
     from segdino3d_tpu.builder import Capacities, build_model
     from segdino3d_tpu.config.config import Config
+    from segdino3d_tpu.data.bucketing import BucketPolicy
     from segdino3d_tpu.data.collate import PadSpec
     from segdino3d_tpu.data.loader import ConcatDataset, EvalLoader, TrainLoader
     from segdino3d_tpu.data.scannet_constants import (
@@ -134,7 +145,19 @@ def main():
     evaluator = InstanceSeg3DEvaluator(
         valid_class_ids=valid_ids, class_names=names,
         stuff_class_inds=list(range(n_stuff)))
-    eval_loader = EvalLoader(eval_ds, spec, limit=args.num_eval_scenes)
+    voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
+    eval_plan_cfg = dict(voxel_size=voxel_size,
+                         block_edges=cfg.model["pointcloud_backbone_cfg"].get(
+                             "block_edges", (4, 4, 4, 4, 4)))
+    if caps.level_cap_ratios:
+        eval_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
+    eval_bsz = args.eval_batch_size or cfg.data.get("eval_batch_size", 1)
+    eval_loader = EvalLoader(
+        eval_ds, spec, limit=args.num_eval_scenes, batch_size=eval_bsz,
+        bucket_policy=BucketPolicy.default(
+            n_sem, caps.num_points, caps.num_superpoints,
+            caps.num_instances, caps.num_queries2d),
+        host_plan_cfg=eval_plan_cfg)
 
     def run_eval(st):
         params = st.ema_params if (cfg.get("use_ema") and st.ema_params
@@ -161,7 +184,9 @@ def main():
     mesh = make_mesh(min(n_dev, bsz)) if n_dev > 1 and bsz > 1 else None
     n_shards = mesh.devices.size if mesh is not None else 1
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
-    host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels)
+    host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels,
+                         block_edges=cfg.model["pointcloud_backbone_cfg"].get(
+                             "block_edges", (4, 4, 4, 4, 4)))
     if caps.level_cap_ratios:
         host_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     train_loader = TrainLoader(
