@@ -14,6 +14,10 @@ model = dict(
     filter_outofbox_points_eval=True,
     pointcloud_backbone_cfg=dict(
         type="Res16UNet34C",
+        # block-dense submanifold convs (ops.block_dense): per-level tile
+        # edges, 0 = gather path. The TPU-optimal layout measured on v5e;
+        # remove for CPU debugging (XLA CPU 3D convs are slow).
+        block_edges=(4, 4, 4, 4, 4),
         in_channels=256 + 3,
         out_channels=96,
         voxel_size=0.02,

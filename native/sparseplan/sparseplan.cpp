@@ -82,7 +82,9 @@ extern "C" {
 int64_t voxel_dedup(const int32_t* coords, const uint8_t* valid, int64_t n,
                     int32_t* out_inverse, int32_t* out_vox_coords,
                     int64_t cap) {
-  HashMap map(static_cast<size_t>(std::min(n, cap * 2) + 16));
+  // size by n, not cap: every unique key inserts even past cap (the cap
+  // only limits coordinate writes), and the open-addressing map never grows
+  HashMap map(static_cast<size_t>(n + 16));
   int64_t count = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (valid && !valid[i]) {
@@ -149,7 +151,8 @@ int64_t block_assign(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
   int32_t shift = 0;
   while ((1 << shift) < edge) ++shift;
   const int64_t vol = static_cast<int64_t>(edge) * edge * edge;
-  HashMap map(static_cast<size_t>(v_valid / 4 + 16));
+  // worst case one voxel per block: size by v_valid (the map never grows)
+  HashMap map(static_cast<size_t>(v_valid + 16));
   std::vector<int32_t> block_coords;
   block_coords.reserve(static_cast<size_t>(std::min<int64_t>(
                            block_cap, v_valid) * 4));

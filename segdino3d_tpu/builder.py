@@ -46,6 +46,7 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
     mode_fuse = cfg.pop("mode_fuse_2d_feat", "early_fusion")
     compute_dtype = cfg.pop("compute_dtype", "float32")
     cfg.pop("add_positional_embedding", None)
+    cfg.pop("block_edges", None)   # loader-side layout knob (host plans)
     remat = cfg.pop("use_activation_checkpoint", False)
     if btype == "Res16UNet34C":
         unet = Res16UNet34C(

@@ -66,10 +66,12 @@ def probe_voxel_count(coords_f: np.ndarray, batch_idx: np.ndarray,
         np.concatenate([batch_idx.astype(np.int32)[:, None], ijk], axis=1))
     valid_u8 = np.ascontiguousarray(valid.astype(np.uint8))
     inverse = np.empty(n, np.int32)
-    vox = np.zeros((1, 4), np.int32)
+    # cap must be >= the unique count: voxel_dedup sizes its hash table
+    # from min(n, cap*2) and the open-addressing map never grows
+    vox = np.zeros((n, 4), np.int32)
     return int(lib.voxel_dedup(
         _i32p(coords4), valid_u8.ctypes.data_as(
-            ctypes.POINTER(ctypes.c_uint8)), n, _i32p(inverse), _i32p(vox), 0))
+            ctypes.POINTER(ctypes.c_uint8)), n, _i32p(inverse), _i32p(vox), n))
 
 
 def voxel_bucket(n: int) -> int:

@@ -97,9 +97,9 @@ def make_train_step(model, criterion, tx, *,
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if ema_decay is not None and state.ema_params is not None:
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-                state.ema_params, new_params)
+            from segdino3d_tpu.train.ema import ema_update
+
+            new_ema = ema_update(state.ema_params, new_params, ema_decay)
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_bs,
             opt_state=new_opt, ema_params=new_ema)

@@ -32,8 +32,14 @@ def train_loop(*,
                eval_fn: Optional[Callable] = None,
                work_dir: Optional[str] = None,
                seed: int = 0,
-               eval_first: bool = False):
-    """Run the training loop; returns the final state."""
+               eval_first: bool = False,
+               profile_steps: Optional[tuple] = None):
+    """Run the training loop; returns the final state.
+
+    ``profile_steps=(start, stop)`` captures a ``jax.profiler`` trace of
+    those steps into ``work_dir/profile`` (view with xprof/TensorBoard) —
+    the TPU-native upgrade over the reference's wall-clock/max-memory
+    meters (``utils/metric_utils.py:175-208``)."""
     metric_logger = MetricLogger(logger=logger)
     rng = jax.random.PRNGKey(seed)
 
@@ -44,6 +50,13 @@ def train_loop(*,
     it = iter(train_loader)
     t_end = time.time()
     for step in range(start_step, num_iterations):
+        if profile_steps and work_dir and step == profile_steps[0]:
+            import os as _os
+
+            jax.profiler.start_trace(_os.path.join(work_dir, "profile"))
+            (logger.info if logger else print)(
+                f"profiling steps {profile_steps[0]}..{profile_steps[1]} "
+                f"-> {work_dir}/profile")
         batch = next(it)
         data_t = time.time() - t_end
         rng, sub = jax.random.split(rng)
@@ -59,6 +72,9 @@ def train_loop(*,
             (logger.info if logger else print)(msg)
         t_end = time.time()
 
+        if profile_steps and work_dir and step == profile_steps[1]:
+            jax.block_until_ready(metrics["total_loss"])
+            jax.profiler.stop_trace()
         if work_dir and save_step and (step + 1) % save_step == 0:
             save_checkpoint(work_dir, jax.device_get(state))
         if eval_fn is not None and eval_step and (step + 1) % eval_step == 0:

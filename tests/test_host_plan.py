@@ -72,3 +72,19 @@ def test_backbone_host_plan_matches_device():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_dev.sp_pos),
                                np.asarray(out_host.sp_pos), atol=1e-5)
+
+
+def test_probe_voxel_count_small_cap_terminates():
+    """probe_voxel_count must not hang: the C++ dedup map sizes by n
+    (an undersized open-addressing table would probe forever)."""
+    import numpy as np
+    from segdino3d_tpu.ops.host_plan import probe_voxel_count
+
+    rng = np.random.RandomState(0)
+    coords = rng.randint(0, 50, (20000, 3)).astype(np.float32)
+    n = probe_voxel_count(coords, np.zeros(20000, np.int32),
+                          np.ones(20000, bool))
+    assert 0 < n <= 20000
+    # matches numpy unique
+    uniq = len(np.unique(coords.astype(np.int32), axis=0))
+    assert n == uniq

@@ -30,6 +30,9 @@ def get_args():
                    help="scenes per eval step (default: cfg "
                         "data.eval_batch_size or 1); scenes are padded to "
                         "bucketed capacities")
+    p.add_argument("--profile_steps", default=None,
+                   help="START:STOP — capture a jax.profiler trace of these "
+                        "train steps into work_dir/profile")
     p.add_argument("--options", nargs="*", default=None,
                    help="key=value config overrides (nested keys with dots)")
     return p.parse_args()
@@ -148,7 +151,7 @@ def main():
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
     eval_plan_cfg = dict(voxel_size=voxel_size,
                          block_edges=cfg.model["pointcloud_backbone_cfg"].get(
-                             "block_edges", (4, 4, 4, 4, 4)))
+                             "block_edges"))
     if caps.level_cap_ratios:
         eval_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     eval_bsz = args.eval_batch_size or cfg.data.get("eval_batch_size", 1)
@@ -160,9 +163,9 @@ def main():
         host_plan_cfg=eval_plan_cfg)
 
     def run_eval(st):
-        params = st.ema_params if (cfg.get("use_ema") and st.ema_params
-                                   is not None) else st.params
-        vs = {"params": params, "batch_stats": st.batch_stats}
+        from segdino3d_tpu.train.ema import swap_in_ema
+        vs = (swap_in_ema(st) if cfg.get("use_ema")
+              else {"params": st.params, "batch_stats": st.batch_stats})
         res = evaluate(model, vs, eval_loader, evaluator, test_cfg,
                        filter_outofbox=cfg.model.get(
                            "filter_outofbox_points_eval", True),
@@ -184,9 +187,11 @@ def main():
     mesh = make_mesh(min(n_dev, bsz)) if n_dev > 1 and bsz > 1 else None
     n_shards = mesh.devices.size if mesh is not None else 1
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
+    # block-dense conv layout: opt-in via config (the TPU prototypes set
+    # it; CPU runs prefer the gather path — XLA CPU 3D convs are slow)
     host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels,
                          block_edges=cfg.model["pointcloud_backbone_cfg"].get(
-                             "block_edges", (4, 4, 4, 4, 4)))
+                             "block_edges"))
     if caps.level_cap_ratios:
         host_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     train_loader = TrainLoader(
@@ -221,7 +226,9 @@ def main():
         save_step=cfg.get("save_step", 1000),
         eval_step=cfg.get("eval_step"), eval_fn=run_eval,
         work_dir=args.work_dir, seed=args.seed,
-        eval_first=args.eval_first)
+        eval_first=args.eval_first,
+        profile_steps=(tuple(int(x) for x in args.profile_steps.split(":"))
+                       if args.profile_steps else None))
 
 
 if __name__ == "__main__":
