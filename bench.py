@@ -69,6 +69,9 @@ def main():
     # overfit scenario (identical instance IoUs vs fp32); override with
     # SEGDINO_COMPUTE_DTYPE=float32.
     os.environ.setdefault("SEGDINO_COMPUTE_DTYPE", "bfloat16")
+    if batch_size >= 4:
+        # bound transient conv buffers so large batches fit in HBM
+        os.environ.setdefault("SEGDINO_CONV_CHUNK_MB", "384")
     model, _criterion, test_cfg, variables, _small = _build(
         n_points=2048, s_cap=128, i_cap=16, k2d=32, batch=1,
         num_layers=6, d_model=256, n_sem=200, n_inst_cls=198, feat2d=256)

@@ -122,8 +122,11 @@ def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
     return jnp.concatenate([xm, p, xp], axis=1)
 
 
+# transient halo-padded buffer budget before the conv chunks over blocks.
+# 1 GiB keeps single-scene (batch 1) convs unchunked on a 16 GiB chip;
+# large batches should lower it (bench.py exports 384 MiB at batch >= 4).
 _CHUNK_BUDGET_BYTES = int(
-    float(__import__("os").environ.get("SEGDINO_CONV_CHUNK_MB", "384"))
+    float(__import__("os").environ.get("SEGDINO_CONV_CHUNK_MB", "1024"))
     * 2 ** 20)
 
 
@@ -165,11 +168,13 @@ def dense_subm_conv(dense_flat: jnp.ndarray, occ: jnp.ndarray,
     assert h <= tables.edge, (k, tables.edge)
     b, edge = tables.num_blocks, tables.edge
 
-    core_bytes = b * edge ** 3 * cin * dense_flat.dtype.itemsize
-    if cin > 192 and core_bytes > 2 * _CHUNK_BUDGET_BYTES:
-        # conv is linear over input channels: split wide-Cin convs (the
-        # 259-channel early-fusion stem) so every Cin-sized temporary
-        # halves; exact by linearity
+    padded_bytes = (b * (edge + 2 * h) ** 3 * cin
+                    * dense_flat.dtype.itemsize)
+    if padded_bytes > _CHUNK_BUDGET_BYTES and cin >= 96:
+        # conv is linear over input channels: splitting wide-Cin convs
+        # (the 259-channel early-fusion stem) halves every Cin-sized
+        # temporary while keeping the fast sequential-halo path — exact,
+        # and much cheaper than chunking over blocks
         half = cin // 2
         lo = dense_subm_conv(dense_flat[:, :half], occ, tables,
                              weights[:, :half, :])
