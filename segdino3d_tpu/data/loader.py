@@ -288,7 +288,13 @@ class EvalLoader:
 
     def __init__(self, dataset, pad_spec: Optional[PadSpec] = None,
                  limit: Optional[int] = None, batch_size: int = 1,
-                 bucket_policy=None, host_plan_cfg: Optional[Dict] = None):
+                 bucket_policy=None, host_plan_cfg: Optional[Dict] = None,
+                 mesh_shards: int = 1):
+        """``mesh_shards`` > 1 emits per-device *stacked* batches (leading
+        axis = shards) for the mesh-sharded predict
+        (``evaluation.evaluate(mesh=...)``); a partial tail batch is padded
+        by repeating the last scene — only the real records are returned,
+        so the evaluator never sees the fillers."""
         assert pad_spec is not None or bucket_policy is not None
         self.dataset = dataset
         self.pad_spec = pad_spec
@@ -296,6 +302,9 @@ class EvalLoader:
         self.batch_size = batch_size
         self.bucket_policy = bucket_policy
         self.host_plan_cfg = host_plan_cfg
+        self.mesh_shards = mesh_shards
+        if mesh_shards > 1:
+            assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
 
     def __len__(self):
         n = len(self.dataset)
@@ -307,17 +316,36 @@ class EvalLoader:
         n = len(self.dataset)
         return min(n, self.limit) if self.limit else n
 
+    def _build_one(self, recs, spec):
+        # numpy leaves when sharding: stack_batches restacks host-side and
+        # evaluate() device_puts straight to the sharded layout — a jnp
+        # round-trip through device 0 would double the transfer
+        dev = self.mesh_shards <= 1
+        batch = collate(recs, spec, device=dev)
+        if self.host_plan_cfg:
+            from segdino3d_tpu.data.collate import attach_host_plan
+            batch = attach_host_plan(batch, recs, spec, device=dev,
+                                     **self.host_plan_cfg)
+        return batch
+
     def __iter__(self):
         rng = np.random.RandomState(0)
         n = self.num_scenes
         for lo in range(0, n, self.batch_size):
             recs = [self.dataset.get_record(i, rng)
                     for i in range(lo, min(lo + self.batch_size, n))]
-            spec = (self.bucket_policy.spec_for(recs)
+            n_real = len(recs)
+            padded = recs
+            if self.mesh_shards > 1 and n_real < self.batch_size:
+                padded = recs + [recs[-1]] * (self.batch_size - n_real)
+            spec = (self.bucket_policy.spec_for(padded)
                     if self.bucket_policy is not None else self.pad_spec)
-            batch = collate(recs, spec)
-            if self.host_plan_cfg:
-                from segdino3d_tpu.data.collate import attach_host_plan
-                batch = attach_host_plan(batch, recs, spec,
-                                         **self.host_plan_cfg)
+            if self.mesh_shards <= 1:
+                yield recs, self._build_one(recs, spec)
+                continue
+            from segdino3d_tpu.data.collate import stack_batches
+            per = self.batch_size // self.mesh_shards
+            batch = stack_batches(
+                [self._build_one(padded[i * per:(i + 1) * per], spec)
+                 for i in range(self.mesh_shards)])
             yield recs, batch

@@ -21,10 +21,20 @@ from segdino3d_tpu.evaluation.evaluator import InstanceSeg3DEvaluator
 
 
 def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
-                    n_stuff: int = 2):
+                    n_stuff: int = 2, mesh=None):
     """Jitted batched predict: every scene in the batch is post-processed
     on device (the reference locks eval to bs=1, ``baseline3d.py:335``;
-    our post-processing is per-scene static-shaped, so it vmaps)."""
+    our post-processing is per-scene static-shaped, so it vmaps).
+
+    With ``mesh`` (a 1-axis ``data`` Mesh) the predict runs under
+    ``shard_map``: the batch arrives *stacked* — leading axis = number of
+    mesh devices (``EvalLoader(mesh_shards=N)``) — each device squeezes its
+    shard and post-processes its local scenes; outputs concatenate back to
+    flat batch order.  Per-device batching doesn't pay on this workload
+    (STATUS.md: batch 1 -> 9.2, batch 8 -> 4.5 scenes/s/chip), so the mesh
+    is the throughput axis: per-device batch 1, N scenes/step on N chips —
+    the capability the reference lacks (single-card eval,
+    ``evaluate_3d.py:45``)."""
 
     def one_scene(out_b, sp_ids, point_valid, points):
         inst = predict_instance(
@@ -47,8 +57,7 @@ def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
             test_cfg.get("npoint_thr", 100))
         return inst, sem, pan_sem, pan_map
 
-    @jax.jit
-    def predict(variables, batch):
+    def predict_local(variables, batch):
         outputs, _ = model.apply(variables, batch, False)
         per_scene = {k: outputs[k] for k in
                      ("cls_preds", "masks", "sem_preds", "query_valid",
@@ -60,20 +69,46 @@ def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
             per_scene, batch.superpoint_ids, batch.point_valid,
             batch.points[..., :3])
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict_local)
+
+    from jax.sharding import PartitionSpec as P
+
+    from segdino3d_tpu.parallel.mesh import shard_map
+
+    def sharded_body(variables, stacked):
+        # stacked leading axis = mesh devices; each shard sees dim 1
+        batch = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        return predict_local(variables, batch)
+
+    sharded = shard_map(sharded_body, mesh,
+                        in_specs=(P(), P("data")), out_specs=P("data"))
+    return jax.jit(sharded)
 
 
 def evaluate(model, variables, eval_loader, evaluator: InstanceSeg3DEvaluator,
              test_cfg: Dict, filter_outofbox: bool = True,
-             bg_class_id: int = 200, logger=None, progress: bool = True):
-    """Run full evaluation; returns the metric dict."""
-    predict = make_predict_fn(model, test_cfg, filter_outofbox)
+             bg_class_id: int = 200, logger=None, progress: bool = True,
+             mesh=None):
+    """Run full evaluation; returns the metric dict.
+
+    ``mesh``: run the predict mesh-sharded over the ``data`` axis — the
+    loader must emit stacked batches (``EvalLoader(mesh_shards=N)``)."""
+    predict = make_predict_fn(model, test_cfg, filter_outofbox, mesh=mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sh = NamedSharding(mesh, P("data"))
+        repl_sh = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, repl_sh)
     evaluator.reset()
     log = logger.info if logger else print
     n = len(eval_loader)
     for i, (records, batch) in enumerate(eval_loader):
         if isinstance(records, dict):   # legacy single-record loaders
             records = [records]
+        if mesh is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, batch_sh), batch)
         inst, sem, pan_sem, pan_map = predict(variables, batch)
         for bi, record in enumerate(records):
             valid = np.asarray(inst.valid[bi])

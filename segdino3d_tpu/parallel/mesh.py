@@ -22,6 +22,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.7 style
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+except (ImportError, AttributeError):
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
 def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = n_data or len(devices)

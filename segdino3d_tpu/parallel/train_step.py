@@ -24,18 +24,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:
-    from jax import shard_map as _shard_map_mod  # jax >= 0.7 style
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
-except (ImportError, AttributeError):
-    from jax.experimental.shard_map import shard_map as _sm
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+from segdino3d_tpu.parallel.mesh import shard_map
 
 
 class TrainState(struct.PyTreeNode):
@@ -117,22 +106,3 @@ def make_train_step(model, criterion, tx, *,
         out_specs=(P(), P()),
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
-
-
-def make_eval_step(model, *, mesh: Optional[Mesh] = None,
-                   use_ema: bool = False) -> Callable:
-    """Returns eval_step(state, batch) -> decoder outputs (padded)."""
-
-    def local_eval(state: TrainState, batch):
-        params = state.ema_params if (use_ema and state.ema_params is not None) \
-            else state.params
-        outputs, _gt = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch, False)
-        return outputs
-
-    if mesh is None:
-        return jax.jit(local_eval)
-    sharded = shard_map(local_eval, mesh,
-                        in_specs=(P(), P("data")), out_specs=P("data"))
-    return jax.jit(sharded)

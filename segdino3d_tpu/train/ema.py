@@ -27,17 +27,3 @@ def swap_in_ema(state):
     (``apply_shadow``, reference :57-66)."""
     params = state.ema_params if state.ema_params is not None else state.params
     return {"params": params, "batch_stats": state.batch_stats}
-
-
-def shard_ema_over_mesh(ema_params: Any, mesh, axis: str = "data") -> Any:
-    """Optionally shard the EMA pytree over a mesh axis (the reference's
-    rank-sharding memory optimization, without the filesystem gather: XLA
-    all-gathers shards on demand)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def shard(x):
-        if x.ndim >= 1 and x.shape[0] % mesh.shape[axis] == 0:
-            return jax.device_put(x, NamedSharding(mesh, P(axis)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    return jax.tree_util.tree_map(shard, ema_params)

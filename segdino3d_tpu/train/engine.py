@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from segdino3d_tpu.train.checkpoint import save_checkpoint
+from segdino3d_tpu.utils import profiling
 from segdino3d_tpu.utils.metrics import MetricLogger
 
 
@@ -53,14 +54,15 @@ def train_loop(*,
         if profile_steps and work_dir and step == profile_steps[0]:
             import os as _os
 
-            jax.profiler.start_trace(_os.path.join(work_dir, "profile"))
+            profiling.start_trace(_os.path.join(work_dir, "profile"))
             (logger.info if logger else print)(
                 f"profiling steps {profile_steps[0]}..{profile_steps[1]} "
                 f"-> {work_dir}/profile")
         batch = next(it)
         data_t = time.time() - t_end
         rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
+        with profiling.annotate("train_step"):
+            state, metrics = step_fn(state, batch, sub)
         if step % print_freq == 0:
             host_metrics = {k: float(v) for k, v in metrics.items()}
             lr = float(schedule_fn(step)) if schedule_fn else float("nan")
@@ -74,7 +76,9 @@ def train_loop(*,
 
         if profile_steps and work_dir and step == profile_steps[1]:
             jax.block_until_ready(metrics["total_loss"])
-            jax.profiler.stop_trace()
+            profiling.stop_trace()
+            (logger.info if logger else print)(
+                profiling.device_memory_summary())
         if work_dir and save_step and (step + 1) % save_step == 0:
             save_checkpoint(work_dir, jax.device_get(state))
         if eval_fn is not None and eval_step and (step + 1) % eval_step == 0:

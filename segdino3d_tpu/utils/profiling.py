@@ -22,13 +22,23 @@ def start_server(port: int = 9999):
     return jax.profiler.start_server(port)
 
 
+def start_trace(log_dir: str):
+    """Begin an xprof trace capture (range-based: the train engine opens it
+    at ``profile_steps[0]`` and closes at ``profile_steps[1]``)."""
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace():
+    jax.profiler.stop_trace()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
-    jax.profiler.start_trace(log_dir)
+    start_trace(log_dir)
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        stop_trace()
 
 
 def annotate(name: str):

@@ -76,7 +76,7 @@ def main():
     from segdino3d_tpu.gtypes import SceneBatch
     from segdino3d_tpu.parallel.mesh import init_distributed, make_mesh
     from segdino3d_tpu.parallel.train_step import (
-        TrainState, create_train_state, make_eval_step, make_train_step)
+        TrainState, create_train_state, make_train_step)
     from segdino3d_tpu.registry import DATASETS
     from segdino3d_tpu.train.checkpoint import (merge_pretrained,
                                                 restore_checkpoint,
@@ -154,13 +154,25 @@ def main():
                              "block_edges"))
     if caps.level_cap_ratios:
         eval_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
-    eval_bsz = args.eval_batch_size or cfg.data.get("eval_batch_size", 1)
+    # multi-chip eval: shard scenes over the data axis, per-device batch
+    # eval_bsz/n_dev (default 1 — the measured optimum; STATUS.md).  The
+    # reference is locked to single-card eval (evaluate_3d.py:45).
+    n_dev_eval = len(jax.devices())
+    eval_mesh = make_mesh(n_dev_eval) if n_dev_eval > 1 else None
+    eval_bsz = args.eval_batch_size or cfg.data.get("eval_batch_size")
+    if eval_bsz is None:
+        eval_bsz = n_dev_eval if eval_mesh is not None else 1
+    if eval_mesh is not None and eval_bsz % n_dev_eval != 0:
+        eval_bsz = -(-eval_bsz // n_dev_eval) * n_dev_eval
+        logger.info(f"eval_batch_size rounded up to {eval_bsz} "
+                    f"(multiple of {n_dev_eval} devices)")
     eval_loader = EvalLoader(
         eval_ds, spec, limit=args.num_eval_scenes, batch_size=eval_bsz,
         bucket_policy=BucketPolicy.default(
             n_sem, caps.num_points, caps.num_superpoints,
             caps.num_instances, caps.num_queries2d),
-        host_plan_cfg=eval_plan_cfg)
+        host_plan_cfg=eval_plan_cfg,
+        mesh_shards=n_dev_eval if eval_mesh is not None else 1)
 
     def run_eval(st):
         from segdino3d_tpu.train.ema import swap_in_ema
@@ -169,7 +181,8 @@ def main():
         res = evaluate(model, vs, eval_loader, evaluator, test_cfg,
                        filter_outofbox=cfg.model.get(
                            "filter_outofbox_points_eval", True),
-                       bg_class_id=eval_ds.bg_class_id, logger=logger)
+                       bg_class_id=eval_ds.bg_class_id, logger=logger,
+                       mesh=eval_mesh)
         if res:
             logger.info(
                 f"mAP: {res['all_ap']:.4f}  mAP50: {res['all_ap_50']:.4f}  "
