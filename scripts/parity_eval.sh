@@ -13,7 +13,16 @@
 #   features_2d/{id}.pth {id}_query_feats.pth {id}_query_3dctr.pth
 #   meta_data/scannetv2_val.txt
 #
-# Smoke test (synthetic stand-ins, no real data needed):
+# Kernel-order auto-disambiguation: the ME kernel-offset enumeration is
+# derived to be x-slowest/identity (train/torch_import.py:
+# kernel_permutation); to make that decision empirical, step 2 first runs
+# a 25-scene probe eval under BOTH orders and picks the winner (a wrong
+# order scrambles the backbone's spatial kernels, collapsing mAP — the
+# probe gap is decisive), then runs the full val split with it.
+# Skip the probe with PARITY_KERNEL_ORDER=x_slowest|x_fastest.
+#
+# Smoke test (synthetic stand-ins, no real data needed), both flagship
+# config families (ScanNet200/Res16UNet34C + ScanNet v2/SpConvUNet):
 #   scripts/parity_eval.sh --smoke
 set -e
 cd "$(dirname "$0")/.."
@@ -23,8 +32,7 @@ if [ "$1" = "--smoke" ]; then
   # at smoke scale); see train_3d.py SEGDINO_FORCE_CPU
   export SEGDINO_FORCE_CPU=1
   # end-to-end dry run on synthetic scenes written in the reference's
-  # on-disk layout, with a synthetic "released checkpoint" round-tripped
-  # through the torch importer
+  # on-disk layout, for BOTH flagship configs
   python - <<'EOF'
 import os, subprocess, sys, tempfile
 sys.path.insert(0, ".")
@@ -32,19 +40,21 @@ sys.path.insert(0, "tests")
 
 tmp = tempfile.mkdtemp(prefix="parity_smoke_")
 from segdino3d_tpu.data.synthetic import write_scannet_layout
-from test_cli import CONFIG_TMPL   # the known-good synthetic config
+from test_cli import CONFIG_TMPL, CONFIG_TMPL_SPCONV
 
 data_root = os.path.join(tmp, "data")
 write_scannet_layout(data_root, seeds=[0, 1], n_points=2500,
                      n_superpoints=48, n_classes=16, n_instances=5,
                      feat_dim_2d=16)
-cfg = os.path.join(tmp, "cfg.py")
-open(cfg, "w").write(CONFIG_TMPL.replace("{root}", data_root))
-subprocess.check_call(
-    [sys.executable, "train_3d.py", "--config_file", cfg,
-     "--work_dir", os.path.join(tmp, "wd"), "--eval_only",
-     "--num_eval_scenes", "2"])
-print("PARITY SMOKE OK")
+for name, tmpl in [("scannet200", CONFIG_TMPL),
+                   ("scannetv2_spconv", CONFIG_TMPL_SPCONV)]:
+    cfg = os.path.join(tmp, f"cfg_{name}.py")
+    open(cfg, "w").write(tmpl.replace("{root}", data_root))
+    subprocess.check_call(
+        [sys.executable, "train_3d.py", "--config_file", cfg,
+         "--work_dir", os.path.join(tmp, f"wd_{name}"), "--eval_only",
+         "--num_eval_scenes", "2"])
+    print(f"PARITY SMOKE OK ({name})")
 EOF
   exit 0
 fi
@@ -80,12 +90,40 @@ with open(os.path.join(sys.argv[2], "converted_params.pkl"), "wb") as f:
     pickle.dump({"params": params, "batch_stats": stats}, f)
 EOF
 
-# 2) run eval with the converted weights; prints the AP table
+# 2) kernel-order probe: 25-scene eval under both enumerations
+ORDER=${PARITY_KERNEL_ORDER:-}
+if [ -z "$ORDER" ]; then
+  for o in x_slowest x_fastest; do
+    echo "=== kernel-order probe: $o (25 scenes) ==="
+    python train_3d.py \
+      --config_file "$CONFIG" --work_dir "$WORK_DIR/probe_$o" \
+      --eval_only --load_pretrained_ckpt "$CKPT" --kernel_order "$o" \
+      --num_eval_scenes 25 --options data_root="$DATA_ROOT" "$@" \
+      | tee "$WORK_DIR/probe_$o.log"
+  done
+  ORDER=$(python - "$WORK_DIR" <<'EOF'
+import re, sys
+best, best_map = "x_slowest", -1.0
+for o in ("x_slowest", "x_fastest"):
+    txt = open(f"{sys.argv[1]}/probe_{o}.log").read()
+    m = re.findall(r"mAP: ([0-9.]+)", txt)
+    v = float(m[-1]) if m else -1.0
+    print(f"probe {o}: mAP {v}", file=sys.stderr)
+    if v > best_map:
+        best, best_map = o, v
+print(best)
+EOF
+)
+  echo "=== kernel-order decided: $ORDER ==="
+fi
+
+# 3) full val eval with the winning order; prints the AP table
 python train_3d.py \
   --config_file "$CONFIG" \
   --work_dir "$WORK_DIR" \
   --eval_only \
   --load_pretrained_ckpt "$CKPT" \
+  --kernel_order "$ORDER" \
   --options data_root="$DATA_ROOT" \
   "$@"
 

@@ -15,13 +15,25 @@ Handled translations:
 * torch Linear ``(out, in)`` -> flax Dense ``(in, out)`` transposes,
   LayerNorm/BatchNorm ``weight`` -> ``scale``;
 * MinkowskiConvolution kernels ``(kernel_volume, Cin, Cout)`` with a
-  configurable kernel-offset permutation (``kernel_order``): ME iterates
-  kernel regions first-axis-fastest while our canonical order is
-  ``itertools.product`` (x slowest); flip if a real-checkpoint parity
-  check shows mismatch;
+  configurable kernel-offset permutation (``kernel_order``); the derived
+  default is ``x_slowest`` = identity — see ``kernel_permutation`` for the
+  derivation from the pinned ME build's public source, and
+  ``scripts/parity_eval.sh`` for the real-checkpoint auto-disambiguation
+  that empirically confirms/refutes it in one run;
 * spconv ``SubMConv3d/SparseConv3d/SparseInverseConv3d`` 5-d kernels in
   either v2.x layout — KRSC ``(Cout, k, k, k, Cin)`` or RSCK
-  ``(k, k, k, Cin, Cout)`` — sniffed by shape;
+  ``(k, k, k, Cin, Cout)`` — sniffed by shape.  spconv's kernel-volume
+  enumeration decomposes the linear index last-dimension-fastest
+  (``include/spconv/geometry.h``, ``getValidOutPos``: ``for (j = NDim-1;
+  j >= 0; --j) { pos[j] = val % kernelSize[j]; val /= kernelSize[j]; }``),
+  i.e. plain row-major — so the plain ``reshape(k**3, Cin, Cout)`` in
+  ``_spconv_kernel`` is already offset-exact, no permutation knob needed.
+  ``SparseInverseConv3d`` (``src/spconv/spconv_ops.cc``, ``indiceConv``
+  with ``inverse=true``) reuses the forward pair tables with the gather/
+  scatter roles swapped (``indicePairs[i][inverse ? 1 : 0]``) and the
+  filter indexed by the SAME slot ``i`` — no kernel flip — matching our
+  ``up_conv`` exact-transpose (``ops/sparse_conv.py``), which also keeps
+  slot ``o`` = the fine voxel's offset within its parent's 2x2x2 block;
 * torch ``nn.MultiheadAttention`` packed ``in_proj_weight`` (3D, D) ->
   split q/k/v Dense kernels (the decoder's DINO-X cross-attention);
 * BN running stats -> the ``batch_stats`` collection (same pass).
@@ -38,7 +50,36 @@ import numpy as np
 
 
 def kernel_permutation(k: int, order: str) -> np.ndarray:
-    """Permutation from torch/ME kernel-offset order to ours (x slowest)."""
+    """Permutation from the ME kernel-offset order to ours (x slowest).
+
+    Derivation of the default (``x_slowest`` = identity).  The reference
+    pins a source build of MinkowskiEngine master/v0.5.4
+    (``/root/reference/installation.md:13-35``).  In that source, kernel
+    maps enumerate the kernel region through
+    ``kernel_region_iterator::operator++`` (``src/kernel_region.hpp``),
+    which is an odometer over the coordinate vector ``(batch, x, y, z)``
+    incrementing from the LAST index down::
+
+        for (index_type i = m_coordinate_size - 1; i > 0; --i) {
+          m_coordinate[i] += dilation; if (within upper) return *this;
+          m_coordinate[i] = lower;     // carry into the next-slower axis
+        }
+
+    so the kernel-volume index is row-major over ``(x, y, z)`` with z
+    fastest — exactly ``itertools.product(range(k), repeat=3)``, our
+    canonical order (``ops/sparse_conv.py:kernel_offsets``).  The GPU path
+    (``coordinate_at`` in ``kernel_region.hpp``) decomposes the linear
+    index with the same convention, and ME's dense()/Conv3d equivalence
+    (kernels compared via a direct ``reshape(k,k,k,Cin,Cout)``) confirms
+    row-major.  Offsets per axis: centered ``-(k-1)/2..(k-1)/2`` for odd
+    k, corner-anchored ``0..k-1`` for even k — same as ``kernel_offsets``.
+
+    ``x_fastest`` (the transposed enumeration) is kept so
+    ``scripts/parity_eval.sh`` can empirically disambiguate on a real
+    checkpoint in a single run: a wrong order scrambles the backbone's
+    spatial kernels and collapses val mAP, so comparing a small-val-split
+    eval under both orders is decisive.
+    """
     if order == "x_slowest":
         return np.arange(k ** 3)
     offs_ours = list(itertools.product(range(k), range(k), range(k)))
@@ -306,7 +347,7 @@ def _translate(k: str, arr: np.ndarray, kernel_order: str
     return None
 
 
-def import_state_dict(sd: Dict, kernel_order: str = "x_fastest"
+def import_state_dict(sd: Dict, kernel_order: str = "x_slowest"
                       ) -> Tuple[Dict, Dict, List[str]]:
     """Translate a (cleaned) torch state dict.
 
@@ -332,7 +373,7 @@ def import_state_dict(sd: Dict, kernel_order: str = "x_fastest"
     return params, stats, unmapped
 
 
-def import_checkpoint(path: str, kernel_order: str = "x_fastest",
+def import_checkpoint(path: str, kernel_order: str = "x_slowest",
                       key: str = "model") -> Tuple[Dict, Dict, List[str]]:
     """Load a torch checkpoint file and convert it."""
     import torch
@@ -348,7 +389,7 @@ def import_checkpoint(path: str, kernel_order: str = "x_fastest",
 
 
 def load_torch_checkpoint(path: str, model=None,
-                          kernel_order: str = "x_fastest",
+                          kernel_order: str = "x_slowest",
                           key: str = "model") -> Dict:
     params, _stats, unmapped = import_checkpoint(path, kernel_order, key)
     if unmapped:

@@ -82,6 +82,24 @@ print_freq = 2
 '''
 
 
+# ScanNet v2 / SpConvUNet flagship variant (configs/prototypes/
+# SegDINO3D_ScanNetv2.py shrunk to smoke scale): exercises the spconv
+# recursive U-Net + v2 dataset + converter path end-to-end
+CONFIG_TMPL_SPCONV = CONFIG_TMPL.replace(
+    '''    pointcloud_backbone_cfg=dict(
+        type="Res16UNet34C", in_channels=16 + 3, out_channels=96,
+        voxel_size=0.05, mode_fuse_2d_feat="early_fusion",
+        config=dict(conv1_kernel_size=5, bn_momentum=0.1)),''',
+    '''    pointcloud_backbone_cfg=dict(
+        type="SpConvUNet", num_planes=[16, 24, 32], block_reps=1,
+        in_channels=16 + 6, voxel_size=0.05,
+        mode_fuse_2d_feat="early_fusion",
+        add_positional_embedding=True),''',
+).replace(
+    'in_channels=96, d_model=32', 'in_channels=16, d_model=32',
+).replace('type="ScanNet200InstanceSeg3D"', 'type="ScanNetInstanceSeg3D"')
+
+
 def test_cli_train_then_eval(tmp_path, monkeypatch):
     from segdino3d_tpu.data.synthetic import write_scannet_layout
 
@@ -102,6 +120,32 @@ def test_cli_train_then_eval(tmp_path, monkeypatch):
     train_3d.main()
     assert os.path.isdir(os.path.join(work, "checkpoints"))
 
+    monkeypatch.setattr(sys, "argv", [
+        "train_3d.py", "--config_file", cfg_path, "--work_dir", work,
+        "--seed", "1", "--eval_only", "--resume", "--num_eval_scenes", "2"])
+    train_3d.main()  # must not raise
+
+
+def test_cli_spconv_v2_train_eval(tmp_path, monkeypatch):
+    """ScanNet v2 / SpConvUNet flagship config path (train 2 iters + eval)."""
+    from segdino3d_tpu.data.synthetic import write_scannet_layout
+
+    data_root = str(tmp_path / "data")
+    write_scannet_layout(data_root, seeds=[0, 1], n_points=2000,
+                         n_superpoints=48, n_classes=16, n_instances=5,
+                         feat_dim_2d=16)
+    cfg_path = str(tmp_path / "cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TMPL_SPCONV.replace("{root}", data_root)
+                .replace("num_iterations = 4", "num_iterations = 2"))
+    work = str(tmp_path / "work")
+
+    import train_3d
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_3d.py", "--config_file", cfg_path, "--work_dir", work,
+        "--seed", "1"])
+    train_3d.main()
     monkeypatch.setattr(sys, "argv", [
         "train_3d.py", "--config_file", cfg_path, "--work_dir", work,
         "--seed", "1", "--eval_only", "--resume", "--num_eval_scenes", "2"])

@@ -98,7 +98,8 @@ class TestDecoderRoundtrip:
                                                    want[k].shape)
 
 
-def _inv_perm(k, order="x_fastest"):
+def _inv_perm(k, order="x_slowest"):   # importer default (identity; see
+    # train/torch_import.py:kernel_permutation for the ME derivation)
     perm = kernel_permutation(k, order)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
@@ -293,10 +294,13 @@ class TestKernelTransforms:
         np.testing.assert_array_equal(out, out2)
 
     def test_me_permutation_roundtrip(self):
+        """Both enumeration hypotheses must round-trip (the harness's
+        auto-disambiguation relies on each being self-consistent)."""
         from segdino3d_tpu.train.torch_import import _me_kernel
 
-        for k in (2, 3, 5):
-            target = np.random.randn(k ** 3, 4, 6)
-            torch_arr = _me_torch_kernel(target)
-            np.testing.assert_array_equal(_me_kernel(torch_arr, "x_fastest"),
-                                          target)
+        for order in ("x_slowest", "x_fastest"):
+            for k in (2, 3, 5):
+                target = np.random.randn(k ** 3, 4, 6)
+                torch_arr = target[_inv_perm(k, order)]
+                np.testing.assert_array_equal(_me_kernel(torch_arr, order),
+                                              target)

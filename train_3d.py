@@ -25,6 +25,12 @@ def get_args():
     p.add_argument("--eval_first", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--load_pretrained_ckpt", default=None)
+    p.add_argument("--kernel_order", default="x_slowest",
+                   choices=["x_slowest", "x_fastest"],
+                   help="ME kernel-offset enumeration assumed when "
+                        "converting torch checkpoints (derivation: "
+                        "train/torch_import.py:kernel_permutation; "
+                        "parity_eval.sh tries both)")
     p.add_argument("--num_eval_scenes", type=int, default=None)
     p.add_argument("--eval_batch_size", type=int, default=None,
                    help="scenes per eval step (default: cfg "
@@ -122,7 +128,8 @@ def main():
 
     if args.load_pretrained_ckpt:
         from segdino3d_tpu.train.torch_import import load_torch_checkpoint
-        pre = load_torch_checkpoint(args.load_pretrained_ckpt, model)
+        pre = load_torch_checkpoint(args.load_pretrained_ckpt, model,
+                                    kernel_order=args.kernel_order)
         variables = dict(variables)
         variables["params"] = merge_pretrained(variables["params"], pre)
 
