@@ -41,6 +41,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_REFERENCE_SCENES_PER_SEC = 2.5   # estimated; see module docstring
 
 
+class _SynthDataset:
+    """Module-level (picklable for spawn workers) synthetic scene source —
+    stands in for the disk reader in the pipeline bench."""
+
+    def __init__(self, n_points, s_cap):
+        self.n_points = n_points
+        self.s_cap = s_cap
+
+    def __len__(self):
+        return 64
+
+    def get_record(self, idx, rng=None, sync_scale=None):
+        import numpy as np
+
+        from segdino3d_tpu.data.synthetic import synthetic_scene
+
+        r = synthetic_scene(idx, n_points=self.n_points, n_instances=24,
+                            n_superpoints=self.s_cap, n_classes=180,
+                            feat_dim_2d=256)
+        # production loaders read DINO-X features as fp16
+        # (``feats_2d_dtype``) — halves the dominant transfer
+        r["points_2dfeats"] = r["points_2dfeats"].astype(np.float16)
+        return r
+
+
 def main():
     import jax
 
@@ -51,7 +76,6 @@ def main():
     import numpy as np
 
     from segdino3d_tpu.data.collate import (PadSpec, attach_host_plan, collate)
-    from segdino3d_tpu.data.synthetic import synthetic_scene
     from segdino3d_tpu.models.architecture.postprocess import predict_instance
     from __graft_entry__ import _build
 
@@ -88,11 +112,12 @@ def main():
     ratios = tuple(float(x) for x in os.environ.get(
         "BENCH_LEVEL_RATIOS", "1.0,0.4,0.15,0.06,0.025").split(","))
 
+    ds = _SynthDataset(n_scene_points, s_cap)
+
     def make_batch(seed):
-        recs = [synthetic_scene(seed + i, n_points=n_scene_points,
-                                n_instances=24, n_superpoints=s_cap,
-                                n_classes=180, feat_dim_2d=256)
-                for i in range(batch_size)]
+        # records carry fp16 DINO-X features (the production loader's
+        # feats_2d_dtype option); the backbone casts to compute dtype
+        recs = [ds.get_record(seed + i) for i in range(batch_size)]
         batch = collate(recs, spec)
         return attach_host_plan(batch, recs, spec, voxel_size=0.02,
                                 voxel_cap=voxel_cap,
@@ -146,42 +171,122 @@ def main():
     # host would not pay.
     pipe_line = ""
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
-        import queue as _q
-        import threading
+        # -- stage decomposition (sync): what a production host pays per
+        # batch, independent of this box's dev-tunnel transfer bandwidth
+        stage_recs = [[ds.get_record(100 + i * batch_size + j)
+                       for j in range(batch_size)] for i in range(3)]
+        t_load = time.time()
+        _ = [ds.get_record(200 + j) for j in range(batch_size)]
+        t_load = time.time() - t_load
+        ts_collate, ts_plan, ts_put = [], [], []
+        for recs in stage_recs:
+            t0 = time.time()
+            b = collate(recs, spec, device=False)
+            ts_collate.append(time.time() - t0)
+            t0 = time.time()
+            b = attach_host_plan(b, recs, spec, voxel_size=0.02,
+                                 voxel_cap=voxel_cap,
+                                 level_cap_ratios=ratios,
+                                 block_edges=block_edges, device=False)
+            ts_plan.append(time.time() - t0)
+            t0 = time.time()
+            db = jax.device_put(b)
+            jax.block_until_ready(jax.tree_util.tree_leaves(db))
+            ts_put.append(time.time() - t0)
+        c_ms, p_ms, u_ms = (1000 * float(np.median(t)) for t in
+                            (ts_collate, ts_plan, ts_put))
+        # co-located-host projection: transfer rides PCIe (>10 GB/s,
+        # ~negligible) and load/collate/plan fan out over W workers
+        workers = int(os.environ.get("BENCH_PIPE_WORKERS", "4"))
+        host_ms = 1000 * (t_load + sum(map(np.median,
+                                           (ts_collate, ts_plan)))) / workers
+        proj = batch_size / (max(host_ms, dt * 1000) / 1000)
+        pipe_line = (
+            f" pipe_stages[ms/batch]: load={1000 * t_load:.0f} "
+            f"collate={c_ms:.0f} plan={p_ms:.0f} device_put={u_ms:.0f} "
+            f"(dev-tunnel ~12MB/s; PCIe-host projection @ {workers} "
+            f"workers: {proj:.2f} scenes/s)")
 
-        raw = [[synthetic_scene(100 + i * batch_size + j,
-                                n_points=n_scene_points, n_instances=24,
-                                n_superpoints=s_cap, n_classes=180,
-                                feat_dim_2d=256)
-                for j in range(batch_size)]
-               for i in range(max(4, iters // 2))]
-        qout: "_q.Queue" = _q.Queue(maxsize=2)
+        # -- overlapped pipeline through the production process loader
+        # (GIL-free workers build complete numpy batches; upload+compute
+        # in the parent). On this box the tunnel transfer dominates.
+        from segdino3d_tpu.data.loader import TrainLoader
 
-        def produce():
-            for recs in raw:
-                b = collate(recs, spec)
-                b = attach_host_plan(b, recs, spec, voxel_size=0.02,
-                                     voxel_cap=voxel_cap,
-                                     level_cap_ratios=ratios,
-                                     block_edges=block_edges)
-                qout.put(jax.device_put(b))
-            qout.put(None)
-
-        th = threading.Thread(target=produce, daemon=True)
-        t0 = time.time()
-        th.start()
-        n_done = 0
-        while True:
-            b = qout.get()
-            if b is None:
-                break
-            r = fn(variables, b)
-            n_done += 1
+        loader = TrainLoader(
+            ds, batch_size, spec, num_workers=workers, prefetch=2,
+            worker_mode="process",
+            host_plan_cfg=dict(voxel_size=0.02, voxel_cap=voxel_cap,
+                               level_cap_ratios=ratios,
+                               block_edges=block_edges))
+        it = iter(loader)
+        r = fn(variables, next(it))           # spawn + warm
         jax.device_get(r)
-        pipe_dt = (time.time() - t0) / n_done
-        pipe_line = (f" pipeline={batch_size / pipe_dt:.2f} scenes/s "
-                     f"({pipe_dt * 1000:.1f}ms/batch incl. collate+plan+"
-                     f"transfer)")
+        t0 = time.time()
+        n_pipe = 6
+        for _ in range(n_pipe):
+            r = fn(variables, next(it))
+        jax.device_get(r)
+        pipe_dt = (time.time() - t0) / n_pipe
+        it.close()   # terminate spawned workers
+        pipe_line += (f" pipeline(process x{workers})="
+                      f"{batch_size / pipe_dt:.2f} scenes/s "
+                      f"({pipe_dt * 1000:.0f}ms/batch incl. transfer)")
+
+    # ---- training-loop throughput (BASELINE config #4: the engine hot
+    # loop, reference engine/train_engine_3d.py:88-120): one fused step =
+    # fwd/bwd/grad-clip/AdamW/PolyLR/EMA, host plans attached ----
+    train_line = ""
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        from segdino3d_tpu.parallel.train_step import (create_train_state,
+                                                       make_train_step)
+        from segdino3d_tpu.train.optim import build_optimizer
+
+        # per-chip batch 1: the global batch-4 reference config maps to
+        # 4 chips x 1 scene DDP on v5e (batch 4 on ONE 16G chip needs
+        # ~29.5G of activation temps — measured OOM; the reference uses a
+        # 40/80G A100). BENCH_TRAIN_BATCH overrides for bigger chips.
+        tb = int(os.environ.get("BENCH_TRAIN_BATCH", "1"))
+        os.environ.setdefault("SEGDINO_CONV_CHUNK_MB", "384")
+        tvc = int(os.environ.get("BENCH_TRAIN_VOXELS", str(98304 * tb)))
+        # criterion shapes are Capacity-bound: rebuild model+criterion with
+        # the bench's superpoint/instance caps, reusing the same params
+        # (param shapes are capacity-independent)
+        model_t, criterion_t, _tc, _, _ = _build(
+            n_points=n_points, s_cap=s_cap, i_cap=64, k2d=128, batch=1,
+            num_layers=6, d_model=256, n_sem=200, n_inst_cls=198,
+            feat2d=256, init=False)
+        tb_recs = [ds.get_record(500 + j)
+                   for j in range(tb)]
+        tb_batch = collate(tb_recs, spec)
+        tb_batch = attach_host_plan(tb_batch, tb_recs, spec, voxel_size=0.02,
+                                    voxel_cap=tvc, level_cap_ratios=ratios,
+                                    block_edges=block_edges)
+        tx, _sched = build_optimizer(
+            dict(lr=1e-4, weight_decay=0.05),
+            dict(total_iters=1000, power=0.9), clip_max_norm=10.0)
+        state = create_train_state(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, tx, use_ema=True)
+        train_step = make_train_step(model_t, criterion_t, tx,
+                                     ema_decay=0.9997, donate=True)
+        import jax.random as jrandom
+        t0 = time.time()
+        state, m = train_step(state, tb_batch, jrandom.PRNGKey(0))
+        jax.device_get(m["total_loss"])
+        tcomp = time.time() - t0
+        state, m = train_step(state, tb_batch, jrandom.PRNGKey(1))  # warm
+        jax.device_get(m["total_loss"])
+        t0 = time.time()
+        n_tr = 6
+        for i in range(n_tr):
+            state, m = train_step(state, tb_batch, jrandom.PRNGKey(2 + i))
+        jax.device_get(m["total_loss"])
+        tr_dt = (time.time() - t0) / n_tr
+        train_line = (f" train[b{tb}]={tr_dt * 1000:.0f}ms/iter "
+                      f"({tb / tr_dt:.2f} scenes/s, compile={tcomp:.0f}s)")
+
+    from segdino3d_tpu.utils.profiling import device_memory_summary
+    mem_line = " hbm: " + device_memory_summary().replace("\n", " | ")
 
     value = scenes_per_sec  # single chip
     print(json.dumps({
@@ -191,7 +296,8 @@ def main():
         "vs_baseline": round(value / A100_REFERENCE_SCENES_PER_SEC, 4),
     }))
     print(f"# batch={batch_size} points={n_scene_points} sp={s_cap} "
-          f"step={dt*1000:.1f}ms compile={compile_time:.1f}s{pipe_line}",
+          f"step={dt*1000:.1f}ms compile={compile_time:.1f}s{train_line}"
+          f"{pipe_line}{mem_line}",
           file=sys.stderr)
 
 

@@ -139,13 +139,39 @@ def synthetic_scene(seed: int = 0,
 
     pts[:, 3:] = rng.randn(n_points, 3).astype(np.float32) * 0.5
 
-    # superpoints: spatial grid cells, remapped to dense ids
+    # superpoints: spatial grid cells split by (instance, semantic) label —
+    # real superpoints (graph-cut mesh segmentation, segmentator) respect
+    # object boundaries, so a pure-superpoint oracle reaches IoU ~1.0;
+    # plain grid cells straddle instances and cap achievable point-IoU at
+    # 0.3-0.7, making high-bar overfit tests impossible by construction
     cell = ext / max(2, int(np.sqrt(n_superpoints)))
-    key = (np.floor(pts[:, 0] / cell).astype(np.int64) * 1000
-           + np.floor(pts[:, 1] / cell).astype(np.int64) * 10
-           + np.floor(pts[:, 2] / 1.0).astype(np.int64))
-    _, sp = np.unique(key, return_inverse=True)
-    sp = sp % n_superpoints   # cap at the requested superpoint count
+    gkey = (np.floor(pts[:, 0] / cell).astype(np.int64) * 1000
+            + np.floor(pts[:, 1] / cell).astype(np.int64) * 10
+            + np.floor(pts[:, 2] / 1.0).astype(np.int64))
+    label = np.where(inst >= 0, inst, 1000 + sem)   # pure per (inst|stuff-sem)
+    key = gkey * 4096 + label
+    ukeys, sp, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    if len(ukeys) > n_superpoints:
+        # merge the smallest grid cells into their label's largest cell so
+        # the budget holds WITHOUT mixing labels (purity is the invariant)
+        ulabel = (ukeys % 4096).astype(np.int64)
+        order = np.argsort(counts)                   # smallest first
+        remap = np.arange(len(ukeys))
+        biggest = {}                                 # label -> largest key idx
+        for i in np.argsort(-counts):
+            biggest.setdefault(int(ulabel[i]), int(i))
+        excess = len(ukeys) - n_superpoints
+        for i in order:
+            if excess <= 0:
+                break
+            tgt = biggest[int(ulabel[i])]
+            if tgt != i:
+                remap[i] = tgt
+                excess -= 1
+        _, remap2 = np.unique(remap[sp], return_inverse=True)
+        sp = remap2
+    assert int(sp.max()) < n_superpoints
 
     num_sp = int(sp.max()) + 1
     from segdino3d_tpu.data.scannet_dataset import pool_to_superpoints

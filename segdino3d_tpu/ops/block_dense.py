@@ -132,11 +132,16 @@ _CHUNK_BUDGET_BYTES = int(
 
 def _conv_valid(padded, weights, k, cin, cout, out_dtype):
     w = weights.reshape(k, k, k, cin, cout).astype(padded.dtype)
+    # bf16 operands keep a bf16 output type: the TPU MXU accumulates in
+    # f32 internally regardless, and a promoted preferred_element_type
+    # breaks differentiation (the conv transpose rule would pair an f32
+    # cotangent with bf16 kernels — lax.conv is strict about dtypes)
+    pref = (jnp.float32 if padded.dtype == jnp.float32
+            else padded.dtype)
     return jax.lax.conv_general_dilated(
         padded, w, window_strides=(1, 1, 1), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.promote_types(out_dtype, jnp.float32)
-        ).astype(out_dtype)
+        preferred_element_type=pref).astype(out_dtype)
 
 
 def dense_subm_conv(dense_flat: jnp.ndarray, occ: jnp.ndarray,
