@@ -66,6 +66,33 @@ class _SynthDataset:
         return r
 
 
+def _probe_scene_caps(args):
+    """Per-scene voxel/block counts on CHEAP records (coords are invariant
+    to feat_dim_2d; generating 8-dim features is ~4x faster than 256).
+    Module-level for spawn-worker picklability."""
+    seed, n_points, s_cap, ratios, block_edges = args
+    import numpy as np
+
+    from segdino3d_tpu.data.synthetic import synthetic_scene
+    from segdino3d_tpu.ops.host_plan import (build_host_plan,
+                                             probe_voxel_count, voxel_bucket)
+
+    r = synthetic_scene(seed, n_points=n_points, n_instances=24,
+                        n_superpoints=s_cap, n_classes=180, feat_dim_2d=8)
+    c = np.asarray(r["points"][:, :3], np.float32) / 0.02
+    c -= np.floor(c.min(0) / 16.0) * 16.0
+    bidx = np.zeros(c.shape[0], np.int32)
+    valid = np.ones(c.shape[0], bool)
+    nv = probe_voxel_count(c, bidx, valid)
+    if block_edges is None or not any(block_edges):
+        return nv, None
+    caps = [max(256, -(-int(voxel_bucket(nv) * x) // 256) * 256)
+            for x in ratios]
+    caps[0] = voxel_bucket(nv)
+    plan = build_host_plan(c, bidx, valid, caps, block_edges=block_edges)
+    return nv, [lv.num_blocks for lv in plan.levels]
+
+
 def main():
     import jax
 
@@ -84,10 +111,13 @@ def main():
     n_scene_points = int(os.environ.get("BENCH_SCENE_POINTS", "120000"))
     s_cap = int(os.environ.get("BENCH_SP", "1536"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    # realistic bucketing: production pads voxels to the smallest bucket
-    # >= the scene's voxel count (~89k at 2cm for 120k-point scenes)
-    voxel_cap = int(os.environ.get("BENCH_VOXELS",
-                                   str(98304 * batch_size)))
+    # realistic bucketing: production pads voxels to the smallest ~1.3x
+    # ladder bucket >= the batch's voxel count (host_plan.voxel_bucket;
+    # ~92160 at 2cm for 120k-point scenes). "auto" = probe per batch,
+    # exactly the production path; gather rows scale with the cap, so
+    # tight buckets are a measured ~6% step win over the old 98304 pad.
+    _vox_env = os.environ.get("BENCH_VOXELS", "auto")
+    voxel_cap = None if _vox_env == "auto" else int(_vox_env)
 
     # bf16 backbone compute by default: validated loss-free on the e2e
     # overfit scenario (identical instance IoUs vs fp32); override with
@@ -104,7 +134,10 @@ def main():
 
     # block-dense conv layout (ops.block_dense): per-level block edges,
     # 0 = gather-GEMM path for that level
-    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "4,4,4,4,4")
+    # L0 runs gather-GEMM (edge 0): at realistic surface fill L0 blocks are
+    # only ~22% occupied at e4 — measured r3: 0,4,4,4,4 -> 93.9 ms vs
+    # 4,4,4,4,4 -> 103.4 ms vs 2,4,4,4,4 -> 133.3 ms (batch 1, 120k pts)
+    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "0,4,4,4,4")
     block_edges = ([int(x) for x in edges_env.split(",")]
                    if edges_env and edges_env != "0" else None)
     # per-level voxel caps as fractions of voxel_cap; 2-manifold scenes
@@ -114,6 +147,36 @@ def main():
 
     ds = _SynthDataset(n_scene_points, s_cap)
 
+    # auto mode pins ONE set of bucketed caps for every batch the bench
+    # builds: per-batch auto-probing is the production default, but bucket
+    # drift between batches would recompile mid-measurement — a steady-
+    # state bench wants one compiled shape.  Coverage is exact: probe
+    # every seed the bench can touch (compute batches, stage-decomposition
+    # batches, the loader's whole 64-scene dataset) on cheap records, and
+    # size per-batch caps as batch_size x the per-scene max (scenes never
+    # share voxels/blocks across the batch dim).
+    block_caps = None
+    if voxel_cap is None:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        from segdino3d_tpu.ops.host_plan import block_bucket, voxel_bucket
+        seeds = (list(range(len(ds))) +
+                 list(range(100, 100 + 3 * batch_size)))
+        # spawn: never fork a process holding the TPU client
+        with ProcessPoolExecutor(min(16, os.cpu_count() or 4),
+                                 mp_context=mp.get_context("spawn")) as ex:
+            probes = list(ex.map(_probe_scene_caps,
+                                 [(s, n_scene_points, s_cap, ratios,
+                                   block_edges) for s in seeds]))
+        voxel_cap = voxel_bucket(
+            int(batch_size * max(p[0] for p in probes) * 1.02))
+        if probes[0][1] is not None:
+            block_caps = [
+                0 if not e else block_bucket(
+                    int(batch_size * max(p[1][i] for p in probes) * 1.02))
+                for i, e in enumerate(block_edges)]
+
     def make_batch(seed):
         # records carry fp16 DINO-X features (the production loader's
         # feats_2d_dtype option); the backbone casts to compute dtype
@@ -122,7 +185,8 @@ def main():
         return attach_host_plan(batch, recs, spec, voxel_size=0.02,
                                 voxel_cap=voxel_cap,
                                 level_cap_ratios=ratios,
-                                block_edges=block_edges)
+                                block_edges=block_edges,
+                                block_caps=block_caps)
 
     def infer(variables, batch):
         outputs, _ = model.apply(variables, batch, False)
@@ -187,7 +251,8 @@ def main():
             b = attach_host_plan(b, recs, spec, voxel_size=0.02,
                                  voxel_cap=voxel_cap,
                                  level_cap_ratios=ratios,
-                                 block_edges=block_edges, device=False)
+                                 block_edges=block_edges,
+                                 block_caps=block_caps, device=False)
             ts_plan.append(time.time() - t0)
             t0 = time.time()
             db = jax.device_put(b)
@@ -217,7 +282,8 @@ def main():
             worker_mode="process",
             host_plan_cfg=dict(voxel_size=0.02, voxel_cap=voxel_cap,
                                level_cap_ratios=ratios,
-                               block_edges=block_edges))
+                               block_edges=block_edges,
+                               block_caps=block_caps))
         it = iter(loader)
         r = fn(variables, next(it))           # spawn + warm
         jax.device_get(r)
@@ -248,6 +314,12 @@ def main():
         tb = int(os.environ.get("BENCH_TRAIN_BATCH", "1"))
         os.environ.setdefault("SEGDINO_CONV_CHUNK_MB", "384")
         tvc = int(os.environ.get("BENCH_TRAIN_VOXELS", str(98304 * tb)))
+        # training keeps e4 blocks at L0: the gather path's backward is
+        # scatter-adds into the voxel table (measured ~2x step cost vs
+        # block-dense backward); the L0-gather win is inference-only
+        tr_edges_env = os.environ.get("BENCH_TRAIN_BLOCK_EDGES", "4,4,4,4,4")
+        tr_edges = ([int(x) for x in tr_edges_env.split(",")]
+                    if tr_edges_env and tr_edges_env != "0" else None)
         # criterion shapes are Capacity-bound: rebuild model+criterion with
         # the bench's superpoint/instance caps, reusing the same params
         # (param shapes are capacity-independent)
@@ -260,7 +332,7 @@ def main():
         tb_batch = collate(tb_recs, spec)
         tb_batch = attach_host_plan(tb_batch, tb_recs, spec, voxel_size=0.02,
                                     voxel_cap=tvc, level_cap_ratios=ratios,
-                                    block_edges=block_edges)
+                                    block_edges=tr_edges)
         tx, _sched = build_optimizer(
             dict(lr=1e-4, weight_decay=0.05),
             dict(total_iters=1000, power=0.9), clip_max_norm=10.0)

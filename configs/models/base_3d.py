@@ -17,7 +17,13 @@ model = dict(
         # block-dense submanifold convs (ops.block_dense): per-level tile
         # edges, 0 = gather path. The TPU-optimal layout measured on v5e;
         # remove for CPU debugging (XLA CPU 3D convs are slow).
-        block_edges=(4, 4, 4, 4, 4),
+        # eval/inference: gather-GEMM at L0 (block fill is only ~22% at e4
+        # on real surface geometry; measured 94ms vs 103ms), block-dense
+        # MXU convs below.
+        block_edges=(0, 4, 4, 4, 4),
+        # training: e4 blocks everywhere — the gather path's backward is
+        # scatter-adds into the voxel table (measured ~2x step cost).
+        block_edges_train=(4, 4, 4, 4, 4),
         in_channels=256 + 3,
         out_channels=96,
         voxel_size=0.02,

@@ -46,7 +46,8 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
     mode_fuse = cfg.pop("mode_fuse_2d_feat", "early_fusion")
     compute_dtype = cfg.pop("compute_dtype", "float32")
     cfg.pop("add_positional_embedding", None)
-    cfg.pop("block_edges", None)   # loader-side layout knob (host plans)
+    cfg.pop("block_edges", None)         # loader-side layout knobs (host
+    cfg.pop("block_edges_train", None)   # plans); params are layout-free
     remat = cfg.pop("use_activation_checkpoint", False)
     if btype == "Res16UNet34C":
         unet = Res16UNet34C(

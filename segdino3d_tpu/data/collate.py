@@ -148,6 +148,59 @@ def collate(records: List[Dict], spec: PadSpec,
     )
 
 
+def _plan_coords(batch: SceneBatch, records: List[Dict], voxel_size: float):
+    """Voxel-unit plan coordinates for a collated batch — elastic coords
+    when present, else xyz/voxel_size, min-shifted down to a multiple of
+    16 per scene (the backbone wrapper's exact coordinate policy)."""
+    b, p = batch.points.shape[:2]
+    coords = np.zeros((b, p, 3), np.float32)
+    valid = np.asarray(batch.point_valid)
+    for bi, r in enumerate(records):
+        n = r["points"].shape[0]
+        if r.get("elastic_coords") is not None:
+            c = np.asarray(r["elastic_coords"], np.float32)
+        else:
+            c = np.asarray(r["points"][:, :3], np.float32) / voxel_size
+        mins = np.floor(c.min(0) / 16.0) * 16.0
+        coords[bi, :n] = c - mins
+    bidx = np.repeat(np.arange(b, dtype=np.int32), p)
+    return coords, valid, bidx
+
+
+def probe_plan_caps(batch: SceneBatch, records: List[Dict], *,
+                    voxel_size: float,
+                    level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
+                    num_levels: int = 5,
+                    block_edges: Optional[Sequence[int]] = None,
+                    headroom: float = 1.04):
+    """Probe the bucketed capacities the auto path would pick for this
+    batch (+``headroom`` slack) without attaching a plan.
+
+    Returns ``(voxel_cap, block_caps)`` suitable for pinning ONE compiled
+    plan shape across many batches — steady-state benches and fixed-shape
+    serving want this, because per-batch auto-bucketing recompiles whenever
+    a batch drifts to a neighboring bucket rung."""
+    from segdino3d_tpu.ops.host_plan import (block_bucket, build_host_plan,
+                                             probe_voxel_count, voxel_bucket)
+
+    coords, valid, bidx = _plan_coords(batch, records, voxel_size)
+    n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx, valid.reshape(-1))
+    voxel_cap = voxel_bucket(int(n_vox * headroom))
+    caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
+            for r in level_cap_ratios[:num_levels]]
+    caps[0] = voxel_cap
+    block_caps = None
+    if block_edges is not None and any(block_edges):
+        plan = build_host_plan(coords.reshape(-1, 3), bidx,
+                               valid.reshape(-1), caps,
+                               num_levels=num_levels,
+                               block_edges=block_edges)
+        block_caps = [0 if not lv.block_edge
+                      else block_bucket(int(lv.num_blocks * headroom))
+                      for lv in plan.levels]
+    return voxel_cap, block_caps
+
+
 def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      *, voxel_size: float, voxel_cap: Optional[int] = None,
                      level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
@@ -171,19 +224,7 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                                              host_plan_to_device,
                                              probe_voxel_count, voxel_bucket)
 
-    b, p = batch.points.shape[:2]
-    coords = np.zeros((b, p, 3), np.float32)
-    valid = np.asarray(batch.point_valid)
-    for bi, r in enumerate(records):
-        n = r["points"].shape[0]
-        if r.get("elastic_coords") is not None:
-            c = np.asarray(r["elastic_coords"], np.float32)
-        else:
-            c = np.asarray(r["points"][:, :3], np.float32) / voxel_size
-        mins = np.floor(c.min(0) / 16.0) * 16.0
-        coords[bi, :n] = c - mins
-
-    bidx = np.repeat(np.arange(b, dtype=np.int32), p)
+    coords, valid, bidx = _plan_coords(batch, records, voxel_size)
     if voxel_cap is None:
         n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
                                   valid.reshape(-1))

@@ -208,10 +208,13 @@ def main():
     n_shards = mesh.devices.size if mesh is not None else 1
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
     # block-dense conv layout: opt-in via config (the TPU prototypes set
-    # it; CPU runs prefer the gather path — XLA CPU 3D convs are slow)
+    # it; CPU runs prefer the gather path — XLA CPU 3D convs are slow).
+    # Training defaults to block_edges_train when present: the gather
+    # path's backward (scatter-adds) is ~2x the block-dense backward.
+    bb_cfg = cfg.model["pointcloud_backbone_cfg"]
     host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels,
-                         block_edges=cfg.model["pointcloud_backbone_cfg"].get(
-                             "block_edges"))
+                         block_edges=bb_cfg.get(
+                             "block_edges_train", bb_cfg.get("block_edges")))
     if caps.level_cap_ratios:
         host_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     train_loader = TrainLoader(
