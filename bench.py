@@ -133,13 +133,16 @@ def main():
     spec = PadSpec(n_points, s_cap, 64, 128, 200)
 
     # block-dense conv layout (ops.block_dense): per-level block edges,
-    # 0 = gather-GEMM path for that level
-    # L0 runs gather-GEMM (edge 0): at realistic surface fill L0 blocks are
-    # only ~22% occupied at e4 — measured r3: 0,4,4,4,4 -> 93.9 ms vs
-    # 4,4,4,4,4 -> 103.4 ms vs 2,4,4,4,4 -> 133.3 ms (batch 1, 120k pts)
-    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "0,4,4,4,4")
+    # 0 = gather-GEMM path for that level. Inference default is the
+    # measured v5e optimum: HYBRID level 0 — gather-GEMM stem (dense k5
+    # stem pays ~50ms of 259-ch halo traffic) + e4 blocks for all other
+    # convs (ResNet-block dense cost ~halves their row-gather cost).
+    # Ladder (batch 1, 120k pts): e4-everywhere 103.4ms, L0-gather
+    # 93.9ms, e2-at-L0 133.3ms, hybrid best.
+    edges_env = os.environ.get("BENCH_BLOCK_EDGES", "4,4,4,4,4")
     block_edges = ([int(x) for x in edges_env.split(",")]
                    if edges_env and edges_env != "0" else None)
+    stem_gather = os.environ.get("BENCH_STEM_GATHER", "1") != "0"
     # per-level voxel caps as fractions of voxel_cap; 2-manifold scenes
     # shrink ~3.3x per 2x downsample
     ratios = tuple(float(x) for x in os.environ.get(
@@ -186,7 +189,8 @@ def main():
                                 voxel_cap=voxel_cap,
                                 level_cap_ratios=ratios,
                                 block_edges=block_edges,
-                                block_caps=block_caps)
+                                block_caps=block_caps,
+                                stem_gather=stem_gather)
 
     def infer(variables, batch):
         outputs, _ = model.apply(variables, batch, False)
@@ -252,7 +256,8 @@ def main():
                                  voxel_cap=voxel_cap,
                                  level_cap_ratios=ratios,
                                  block_edges=block_edges,
-                                 block_caps=block_caps, device=False)
+                                 block_caps=block_caps,
+                                 stem_gather=stem_gather, device=False)
             ts_plan.append(time.time() - t0)
             t0 = time.time()
             db = jax.device_put(b)
@@ -283,7 +288,8 @@ def main():
             host_plan_cfg=dict(voxel_size=0.02, voxel_cap=voxel_cap,
                                level_cap_ratios=ratios,
                                block_edges=block_edges,
-                               block_caps=block_caps))
+                               block_caps=block_caps,
+                               stem_gather=stem_gather))
         it = iter(loader)
         r = fn(variables, next(it))           # spawn + warm
         jax.device_get(r)

@@ -17,12 +17,16 @@ model = dict(
         # block-dense submanifold convs (ops.block_dense): per-level tile
         # edges, 0 = gather path. The TPU-optimal layout measured on v5e;
         # remove for CPU debugging (XLA CPU 3D convs are slow).
-        # eval/inference: gather-GEMM at L0 (block fill is only ~22% at e4
-        # on real surface geometry; measured 94ms vs 103ms), block-dense
-        # MXU convs below.
-        block_edges=(0, 4, 4, 4, 4),
-        # training: e4 blocks everywhere — the gather path's backward is
-        # scatter-adds into the voxel table (measured ~2x step cost).
+        # eval/inference: hybrid level-0 — gather-GEMM stem (the dense k5
+        # stem pays ~50ms of 259-ch halo traffic) + block-dense e4 MXU
+        # convs everywhere else (ResNet-block dense cost is ~half the
+        # row-gather cost). Measured v5e ladder: e4-everywhere 103ms,
+        # L0-gather 94ms, hybrid fastest.
+        block_edges=(4, 4, 4, 4, 4),
+        stem_gather=True,
+        # training: e4 blocks everywhere, dense stem — the gather path's
+        # backward is scatter-adds into the voxel table (measured ~2x
+        # step cost).
         block_edges_train=(4, 4, 4, 4, 4),
         in_channels=256 + 3,
         out_channels=96,

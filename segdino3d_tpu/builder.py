@@ -48,6 +48,7 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
     cfg.pop("add_positional_embedding", None)
     cfg.pop("block_edges", None)         # loader-side layout knobs (host
     cfg.pop("block_edges_train", None)   # plans); params are layout-free
+    cfg.pop("stem_gather", None)
     remat = cfg.pop("use_activation_checkpoint", False)
     if btype == "Res16UNet34C":
         unet = Res16UNet34C(

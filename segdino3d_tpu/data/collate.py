@@ -207,6 +207,7 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      num_levels: int = 5, stem_kernel: int = 5,
                      block_edges: Optional[Sequence[int]] = None,
                      block_caps: Optional[Sequence[int]] = None,
+                     stem_gather: bool = False,
                      device: bool = True) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
 
@@ -235,7 +236,8 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
     plan = build_host_plan(coords.reshape(-1, 3), bidx, valid.reshape(-1),
                            caps, num_levels=num_levels,
                            stem_kernel=stem_kernel,
-                           block_edges=block_edges, block_caps=block_caps)
+                           block_edges=block_edges, block_caps=block_caps,
+                           stem_gather=stem_gather)
     if plan.overflow:
         raise ValueError("host plan capacity overflow — raise voxel caps")
     uplan, inverse = host_plan_to_device(plan, device=device)

@@ -60,7 +60,13 @@ def make_level_ctxs(plan: UNetPlan):
 
     Levels whose plan carries ``BlockTables`` run block-dense; the rest run
     gather-GEMM over their 27-neighbor tables.  Mixed plans are fine (the
-    host loader picks per-level strategies by measured occupancy)."""
+    host loader picks per-level strategies by measured occupancy).
+
+    When a block-dense level 0 ALSO carries ``stem_nbr`` (host plan built
+    with ``stem_gather=True``), the stem runs gather-GEMM while the rest
+    of level 0 stays block-dense — the measured optimum on v5e: the dense
+    k5 stem pays ~50ms of 259-channel halo traffic, the gather ResNet
+    blocks pay ~2x their dense cost."""
     blocks = plan.blocks if plan.blocks is not None else (None,) * len(plan.levels)
     ctxs = []
     for li, (t, l) in enumerate(zip(blocks, plan.levels)):
@@ -68,7 +74,7 @@ def make_level_ctxs(plan: UNetPlan):
             ctxs.append(DenseCtx(t, l.valid))
         else:
             ctxs.append(GatherCtx(plan.subm_nbr[li], l.valid))
-    if blocks[0] is not None:
+    if blocks[0] is not None and plan.stem_nbr is None:
         stem_ctx = ctxs[0]
     else:
         stem_ctx = GatherCtx(plan.stem_nbr, plan.levels[0].valid)
@@ -184,6 +190,10 @@ class Res16UNet34C(nn.Module):
                        name="conv0p1s1")(out, stem_ctx)
         out = bn("bn0")(out, stem_ctx.valid, use_running_average=not train)
         out_p1 = nn.relu(out)   # kept in ctx layout for the final skip concat
+        if stem_ctx is not ctxs[0]:
+            # hybrid stem: move into level-0's layout (identity when both
+            # are gather; one 32-ch scatter_to_dense when L0 is dense)
+            out_p1 = ctxs[0].enter(stem_ctx.exit(out_p1))
 
         # down 1
         out = DownConv(self.INIT_DIM, name="conv1p1s2")(

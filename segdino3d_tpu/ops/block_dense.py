@@ -8,11 +8,10 @@ instead packs voxels into axis-aligned ``edge``^3 blocks (host plan:
 
 1. **scatter once per stage**: voxel rows -> flat dense rows
    ``(n_blocks * edge^3, C)`` via the per-voxel ``vox_slot`` table;
-2. **halo exchange per conv**: pad each block with its 6 face neighbors'
-   boundary slabs, axis-sequentially (z, then y from the z-padded tensor,
-   then x from the yz-padded tensor) so edge/corner cells resolve through
-   the neighbors' own halos — 6 contiguous block-slab gathers total, no
-   26-direction scatter;
+2. **halo exchange per conv**: pad each block with the boundary slabs of
+   its full 3x3x3 neighbor shell (26 block-slab gathers; each direction
+   reads the neighbor's core directly, so absent face blocks never mask
+   present diagonal blocks);
 3. ``lax.conv_general_dilated`` VALID over the padded blocks (XLA tiles
    this onto the MXU), then mask outputs to occupied voxels — with
    zero-filled empty cells and absent neighbors this is *exactly*
@@ -97,29 +96,38 @@ def occupancy(tables: BlockTables, valid: jnp.ndarray) -> jnp.ndarray:
 
 def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
              halo: int) -> jnp.ndarray:
-    """(B, E, E, E, C) -> (B, E+2h, E+2h, E+2h, C) with face-neighbor halos.
+    """(B, E, E, E, C) -> (B, E+2h, E+2h, E+2h, C) with 26-neighbor halos.
 
-    Axis-sequential: pad z from z-neighbors' core, then y from the
-    *z-padded* y-neighbors (bringing their z-halos along, which fills the
-    yz edges), then x from the *yz-padded* x-neighbors (fills xy/xz edges
-    and corners).  Missing neighbors (-1) contribute zeros = absent voxels.
+    Every shell direction gathers its own slab from the neighbor's CORE
+    (the +x neighbor fills the high-x halo with its low-x cells, the
+    (+y,+z) edge neighbor fills that edge with its low-y/low-z cells,
+    ...).  Missing neighbors (-1) contribute zeros = absent voxels.
+
+    An axis-sequential 6-face exchange (z, then y-with-z-halo, then x) is
+    NOT equivalent: it routes edge/corner halos through the face
+    neighbors' halos, which silently zeroes a present diagonal block
+    whenever the intermediate face block is unoccupied — common on real
+    surface geometry at small edges (caught by the e4 L0 parity test).
     """
+    import itertools as _it
+
     h = halo
-    nxm, nxp = block_nbr[FACE_XM], block_nbr[FACE_XP]
-    nym, nyp = block_nbr[FACE_YM], block_nbr[FACE_YP]
-    nzm, nzp = block_nbr[FACE_ZM], block_nbr[FACE_ZP]
-
-    zm = _take0(blocks[:, :, :, -h:, :], nzm)        # neighbor's high-z slab
-    zp = _take0(blocks[:, :, :, :h, :], nzp)
-    p = jnp.concatenate([zm, blocks, zp], axis=3)    # (B, E, E, E+2h, C)
-
-    ym = _take0(p[:, :, -h:, :, :], nym)
-    yp = _take0(p[:, :, :h, :, :], nyp)
-    p = jnp.concatenate([ym, p, yp], axis=2)         # (B, E, E+2h, E+2h, C)
-
-    xm = _take0(p[:, -h:, :, :, :], nxm)
-    xp = _take0(p[:, :h, :, :, :], nxp)
-    return jnp.concatenate([xm, p, xp], axis=1)
+    b, e, c = blocks.shape[0], blocks.shape[1], blocks.shape[-1]
+    sl = {-1: slice(e - h, e), 0: slice(0, e), 1: slice(0, h)}
+    shell = [d for d in _it.product((-1, 0, 1), repeat=3) if d != (0, 0, 0)]
+    parts = {(0, 0, 0): blocks}
+    for di, d in enumerate(shell):
+        slab = blocks[:, sl[d[0]], sl[d[1]], sl[d[2]], :].reshape(b, -1)
+        ext = (h if d[0] else e, h if d[1] else e, h if d[2] else e)
+        parts[d] = _take0(slab, block_nbr[di]).reshape(b, *ext, c)
+    xs = []
+    for dx in (-1, 0, 1):
+        ys = []
+        for dy in (-1, 0, 1):
+            ys.append(jnp.concatenate([parts[(dx, dy, dz)]
+                                       for dz in (-1, 0, 1)], axis=3))
+        xs.append(jnp.concatenate(ys, axis=2))
+    return jnp.concatenate(xs, axis=1)
 
 
 # transient halo-padded buffer budget before the conv chunks over blocks.

@@ -110,6 +110,10 @@ class HostPlan(NamedTuple):
     levels: List[HostLevel]
     stem_nbr: np.ndarray            # (k^3, V0)
     overflow: bool
+    # hybrid intent: run the stem gather-GEMM even though level 0 is
+    # block-dense.  Distinct from ``subm_for_dense`` (parity tests build
+    # every table but must NOT change the executed path).
+    stem_gather: bool = False
 
 
 def build_host_plan(coords_f: np.ndarray,
@@ -120,13 +124,20 @@ def build_host_plan(coords_f: np.ndarray,
                     stem_kernel: int = 5,
                     block_edges: Optional[Sequence[int]] = None,
                     block_caps: Optional[Sequence[int]] = None,
-                    subm_for_dense: bool = False) -> HostPlan:
+                    subm_for_dense: bool = False,
+                    stem_gather: bool = False) -> HostPlan:
     """coords_f: (N, 3) float voxel-unit coordinates (min-shifted >= 0).
 
     ``block_edges[l]`` > 0 gives level ``l`` block-dense layout tables
     (``ops.block_dense``) with ``block_caps[l]`` static block slots; such
     levels skip their (27, V) gather tables (the device never reads them)
     unless ``subm_for_dense`` — used by parity tests running both paths.
+
+    ``stem_gather`` builds the stem's (k^3, V0) gather table even when
+    level 0 is block-dense, enabling the hybrid inference layout: gather-
+    GEMM stem (125-offset halo traffic makes the dense stem ~50ms at 259
+    input channels) + block-dense MXU convs for every other level-0 conv
+    (the ResNet blocks' dense cost is ~half their row-gather cost).
     """
     lib = _load()
     block_edges = list(block_edges or [0] * num_levels)
@@ -199,7 +210,7 @@ def build_host_plan(coords_f: np.ndarray,
             level_cnt = ccnt
 
     stem = None
-    if not block_edges[0] or subm_for_dense:
+    if not block_edges[0] or subm_for_dense or stem_gather:
         if stem_kernel != 3:
             k = np.ascontiguousarray(kernel_offsets(stem_kernel))
             stem = np.empty((k.shape[0], v0_cap), np.int32)
@@ -207,8 +218,12 @@ def build_host_plan(coords_f: np.ndarray,
                                _i32p(stem))
         else:
             stem = levels[0].subm_nbr
+            if stem is None:    # stem_gather over a block-dense level 0
+                stem = np.empty((27, v0_cap), np.int32)
+                lib.neighbor_table(_i32p(vox), v0_cap, cnt, _i32p(k3), 27,
+                                   _i32p(stem))
     return HostPlan(inverse_mapping=inverse, levels=levels, stem_nbr=stem,
-                    overflow=overflow)
+                    overflow=overflow, stem_gather=stem_gather)
 
 
 def host_plan_to_device(plan: HostPlan, device: bool = True):
@@ -250,12 +265,18 @@ def host_plan_to_device(plan: HostPlan, device: bool = True):
                         block_nbr=jnp.asarray(hl.block_nbr),
                         edge=hl.block_edge)
             for hl in plan.levels)
+    # stem_nbr in the DEVICE plan selects the executed stem path
+    # (make_level_ctxs): a block-dense level 0 runs the stem gather-GEMM
+    # iff the plan was built with stem_gather.  Plans that built every
+    # table for parity tests (subm_for_dense) keep the dense stem.
+    dense_l0 = blocks is not None and blocks[0] is not None
+    emit_stem = plan.stem_nbr is not None and (
+        not dense_l0 or plan.stem_gather)
     uplan = UNetPlan(
         levels=tuple(levels),
         subm_nbr=tuple(None if hl.subm_nbr is None else jnp.asarray(hl.subm_nbr)
                        for hl in plan.levels),
-        stem_nbr=(None if plan.stem_nbr is None
-                  else jnp.asarray(plan.stem_nbr)),
+        stem_nbr=(jnp.asarray(plan.stem_nbr) if emit_stem else None),
         blocks=blocks,
     )
     return uplan, jnp.asarray(plan.inverse_mapping)

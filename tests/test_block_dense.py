@@ -52,12 +52,17 @@ class TestBlockDenseConv:
 
     @pytest.mark.parametrize("k", [3, 5])
     @pytest.mark.parametrize("chunk_mb", [None, 0.05])
-    def test_conv_parity_vs_gather(self, k, chunk_mb, monkeypatch):
+    @pytest.mark.parametrize("l0_edge", [8, 4])
+    def test_conv_parity_vs_gather(self, k, chunk_mb, l0_edge, monkeypatch):
+        # l0_edge=4 regression-guards the halo exchange against absent
+        # face blocks with present diagonal blocks (sparse occupancy at
+        # small edges): an axis-sequential 6-face exchange silently
+        # zeroed those diagonals' contributions
         if chunk_mb is not None:
             # force the chunked (lax.map over block shells) path
             monkeypatch.setattr(BD, "_CHUNK_BUDGET_BYTES",
                                 int(chunk_mb * 2 ** 20))
-        plan, uplan = _plan()
+        plan, uplan = _plan(edges=(l0_edge, 4, 8, 4, 8))
         rng = np.random.RandomState(2)
         for li in (0, 1):   # one edge-8 and one edge-4 level
             hl = plan.levels[li]
@@ -137,7 +142,10 @@ class TestBackboneDenseParity:
                                block_edges=[8, 8, 4, 4, 8],
                                subm_for_dense=True)
         up_dense, _ = host_plan_to_device(plan)
-        up_gather = up_dense._replace(blocks=None)
+        # dense plans don't carry stem_nbr (it would select the hybrid
+        # gather stem); re-attach it for the pure-gather variant
+        up_gather = up_dense._replace(blocks=None,
+                                      stem_nbr=jnp.asarray(plan.stem_nbr))
         feats = jnp.where(
             up_dense.levels[0].valid[:, None],
             jnp.asarray(rng.randn(caps[0], 19).astype(np.float32)), 0.0)
@@ -151,4 +159,37 @@ class TestBackboneDenseParity:
         # (measured growth 5e-8 -> 4e-5 over the up path; no single layer
         # introduces structural error — see test_conv_parity_vs_gather)
         rel = float(jnp.abs(out_d - out_g).max() / jnp.abs(out_g).max())
+        assert rel < 3e-3, rel
+
+    @pytest.mark.slow
+    def test_res16unet_hybrid_stem_gather(self):
+        """Hybrid layout (stem_gather=True): gather-GEMM stem over a
+        block-dense level 0 must match the pure gather path. This is the
+        production inference layout (configs/models/base_3d.py)."""
+        from segdino3d_tpu.models.backbone.res16unet import Res16UNet34C
+
+        rng = np.random.RandomState(4)
+        n = 900
+        coords = rng.randint(0, 32, (n, 3)).astype(np.float32)
+        bidx = np.zeros(n, np.int32)
+        valid = np.ones(n, bool)
+        caps = [1024, 512, 256, 128, 64]
+        plan_h = build_host_plan(coords, bidx, valid, caps,
+                                 block_edges=[4, 4, 4, 4, 4],
+                                 stem_gather=True)
+        up_hybrid, _ = host_plan_to_device(plan_h)
+        assert up_hybrid.stem_nbr is not None      # hybrid marker
+        assert up_hybrid.blocks[0] is not None
+        plan_g = build_host_plan(coords, bidx, valid, caps)
+        up_gather, _ = host_plan_to_device(plan_g)
+        feats = jnp.where(
+            up_hybrid.levels[0].valid[:, None],
+            jnp.asarray(rng.randn(caps[0], 19).astype(np.float32)), 0.0)
+        model = Res16UNet34C(in_channels=19, out_channels=96)
+        vars_ = jax.jit(model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(0), feats, up_gather, False)
+        ap = jax.jit(model.apply, static_argnums=(3,))
+        out_g = ap(vars_, feats, up_gather, False)
+        out_h = ap(vars_, feats, up_hybrid, False)
+        rel = float(jnp.abs(out_h - out_g).max() / jnp.abs(out_g).max())
         assert rel < 3e-3, rel

@@ -158,7 +158,9 @@ def main():
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
     eval_plan_cfg = dict(voxel_size=voxel_size,
                          block_edges=cfg.model["pointcloud_backbone_cfg"].get(
-                             "block_edges"))
+                             "block_edges"),
+                         stem_gather=cfg.model["pointcloud_backbone_cfg"].get(
+                             "stem_gather", False))
     if caps.level_cap_ratios:
         eval_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     # multi-chip eval: shard scenes over the data axis, per-device batch
