@@ -3,11 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the full flagship inference path — host C++ sparse-plan building
-(pipelined, like a data loader), the Res16UNet34C gather-GEMM backbone,
-6-layer query decoder with DINO-X cross-attention, and on-device
-post-processing (top-600, matrix-NMS, superpoint unpooling, thresholds) —
-on realistic ScanNet200-sized synthetic scenes (~120k points, surface
-geometry, ~1.5k superpoints at 2 cm voxels).
+(pipelined, like a data loader), the Res16UNet34C backbone in the hybrid
+layout (gather-GEMM k5 stem over a block-dense e4 level 0, block-dense
+MXU convs elsewhere), 6-layer query decoder with DINO-X cross-attention,
+and on-device post-processing (top-600, matrix-NMS, superpoint unpooling,
+thresholds) — on realistic ScanNet200-sized synthetic scenes (~120k
+points, surface geometry, ~1.5k superpoints at 2 cm voxels).
 
 Steady-state throughput: host plan building for batch i+1 overlaps device
 compute for batch i (double-buffered prefetch thread), mirroring the

@@ -208,6 +208,7 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      block_edges: Optional[Sequence[int]] = None,
                      block_caps: Optional[Sequence[int]] = None,
                      stem_gather: bool = False,
+                     dense_l0_max_voxels: Optional[int] = 160_000,
                      device: bool = True) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
 
@@ -220,6 +221,13 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
     number of compiled shapes.  ``block_edges[l]`` > 0 switches level ``l``
     to the block-dense conv layout (``ops.block_dense``); block counts are
     bucketed geometrically unless ``block_caps`` pins them.
+
+    ``dense_l0_max_voxels``: above this per-scene voxel count, level 0
+    falls back to the gather-GEMM layout regardless of ``block_edges[0]``
+    (measured v5e crossover: the hybrid dense-L0 step loses to L0-gather
+    on 400k-pt/2cm multi-room scenes — 462 vs 305 ms — while winning on
+    typical ~120k-pt scenes; surface fill per block drops with scene
+    scale).  ``None`` disables the fallback.
     """
     from segdino3d_tpu.ops.host_plan import (build_host_plan,
                                              host_plan_to_device,
@@ -230,6 +238,10 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
         n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
                                   valid.reshape(-1))
         voxel_cap = voxel_bucket(n_vox)
+    if (dense_l0_max_voxels is not None and block_edges
+            and block_edges[0]
+            and voxel_cap > dense_l0_max_voxels * max(1, len(records))):
+        block_edges = [0] + list(block_edges[1:])
     caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
             for r in level_cap_ratios[:num_levels]]
     caps[0] = voxel_cap

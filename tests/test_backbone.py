@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from segdino3d_tpu.gtypes import SceneBatch
 from segdino3d_tpu.models.backbone.res16unet import Res16UNet34C
@@ -32,6 +33,7 @@ def make_wrapper(voxel_size=0.08, s_cap=16):
 
 
 class TestBackbone:
+    @pytest.mark.slow
     def test_forward_shapes_and_masks(self):
         batch = make_batch()
         bb = make_wrapper()
@@ -42,6 +44,7 @@ class TestBackbone:
         assert np.isfinite(np.asarray(out.sp_feats)).all()
         assert np.abs(np.asarray(out.sp_feats)).max() > 0
 
+    @pytest.mark.slow
     def test_translation_invariance_of_conv(self):
         """Shifting a scene by a multiple of 16 voxels must not change
         features (lattice translation equivariance of the whole U-Net)."""

@@ -3,6 +3,7 @@ implementation of the loss semantics described in SURVEY.md 搂2 (component
 12) — independent re-derivation, validated numerically."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -173,6 +174,7 @@ class TestInstanceCriterion:
             scenes, matches, crit.loss_weight, C, aux=False)
         np.testing.assert_allclose(got, ref, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_padding_invariance(self):
         """Padding queries/gts/superpoints must not change the loss."""
         rng = np.random.RandomState(3)

@@ -84,6 +84,7 @@ class TestDecoderConfigMatrix:
         if CONFIGS[name].get("iter_pred", True):
             assert len(out["aux_outputs"]) == 2
 
+    @pytest.mark.slow
     def test_remat_matches_plain_and_grads(self):
         rng = np.random.RandomState(1)
         inp = _inputs(rng)

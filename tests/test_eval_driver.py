@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_evaluate_runs_end_to_end():
     import jax
     import __graft_entry__ as ge

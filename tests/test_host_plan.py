@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from segdino3d_tpu.data.collate import PadSpec, attach_host_plan, collate
 from segdino3d_tpu.data.synthetic import synthetic_scene
@@ -49,6 +50,7 @@ def test_host_vs_device_dedup_and_maps():
     assert host.levels[1].num_voxels == int(dev_plan.levels[1].num_voxels)
 
 
+@pytest.mark.slow
 def test_backbone_host_plan_matches_device():
     rec = synthetic_scene(0, n_points=2000, n_superpoints=32, n_classes=10,
                           feat_dim_2d=8, extent=3.0)
@@ -88,3 +90,29 @@ def test_probe_voxel_count_small_cap_terminates():
     # matches numpy unique
     uniq = len(np.unique(coords.astype(np.int32), axis=0))
     assert n == uniq
+
+
+def test_dense_l0_fallback_by_scene_size():
+    """attach_host_plan downgrades level 0 to the gather layout above
+    dense_l0_max_voxels per scene (measured v5e crossover: L0-gather wins
+    on 400k-pt multi-room scenes, hybrid wins on typical ~120k)."""
+    import numpy as np
+    from segdino3d_tpu.data.collate import PadSpec, collate, attach_host_plan
+    from segdino3d_tpu.data.synthetic import synthetic_scene
+
+    rec = synthetic_scene(0, n_points=2000, n_instances=4, n_superpoints=32,
+                          n_classes=8, n_queries2d=8, feat_dim_2d=8)
+    spec = PadSpec(2048, 32, 8, 8, 8)
+    b0 = collate([rec], spec)
+    kw = dict(voxel_size=0.05, voxel_cap=4096,
+              level_cap_ratios=(1, 1, 1, 1, 1),
+              block_edges=(4, 4, 4, 4, 4), stem_gather=True)
+    b_hybrid = attach_host_plan(b0, [rec], spec, **kw)
+    assert b_hybrid.unet_plan.blocks[0] is not None
+    assert b_hybrid.unet_plan.stem_nbr is not None
+    b_big = attach_host_plan(b0, [rec], spec, dense_l0_max_voxels=100, **kw)
+    # above the per-scene threshold: L0 falls back to gather
+    assert (b_big.unet_plan.blocks is None
+            or b_big.unet_plan.blocks[0] is None)
+    assert b_big.unet_plan.stem_nbr is not None
+    assert b_big.unet_plan.subm_nbr[0] is not None

@@ -103,6 +103,7 @@ class TestModelForward:
         assert np.isfinite(np.asarray(outputs["cls_preds"])).all()
         assert np.isfinite(np.asarray(outputs["masks"])).all()
 
+    @pytest.mark.slow
     def test_train_loss_and_grads(self, setup):
         model, batch, variables = setup
         crit = ScanNetUnifiedCriterion(**CRIT_CFG)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from segdino3d_tpu.gtypes import SceneBatch
 from segdino3d_tpu.models.backbone.spconv_unet import SpConvUNet
@@ -23,6 +24,7 @@ def make_batch(b=1, p=300, s=12, c2d=8, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_spconv_unet_forward():
     batch = make_batch()
     unet = SpConvUNet(num_planes=(16, 24, 32, 40, 48), block_reps=2,
@@ -38,6 +40,7 @@ def test_spconv_unet_forward():
     assert np.abs(np.asarray(out.sp_feats)).max() > 0
 
 
+@pytest.mark.slow
 def test_spconv_unet_gradients():
     batch = make_batch(p=200)
     unet = SpConvUNet(num_planes=(8, 12, 16), block_reps=1,

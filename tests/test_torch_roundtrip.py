@@ -123,6 +123,7 @@ def _spconv_torch_kernel(target):
 
 
 class TestRes16UNetRoundtrip:
+    @pytest.mark.slow
     def test_full_tree_roundtrip(self):
         from segdino3d_tpu.models.backbone.res16unet import Res16UNet34C
         from segdino3d_tpu.ops.host_plan import (build_host_plan,
@@ -197,6 +198,7 @@ class TestRes16UNetRoundtrip:
 
 
 class TestSpConvUNetRoundtrip:
+    @pytest.mark.slow
     def test_full_tree_roundtrip(self):
         from segdino3d_tpu.models.backbone.spconv_unet import SpConvUNet
         from segdino3d_tpu.ops.host_plan import (build_host_plan,
