@@ -22,10 +22,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from segdino3d_tpu.ops.keys import U32_SENTINEL
 
-EMPTY = jnp.int32(-1)
+# numpy scalar: no device-array creation at import time (see ops.keys)
+EMPTY = np.int32(-1)
 NUM_TABLES = 4
 
 # distinct odd multiplicative constants per table

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -37,7 +38,10 @@ U32_B_BITS = 3
 U32_X_BITS = 10
 U32_Y_BITS = 10
 U32_Z_BITS = 9
-U32_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# NOTE: a numpy (not jnp) scalar on purpose — creating a device array at
+# import time would initialize a jax backend in every process that merely
+# imports this module (data-loader workers must stay device-free).
+U32_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def pack_coords_u32(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
