@@ -25,6 +25,8 @@ data = dict(
     train_extras=None,
     train_batch_size=4,
     num_workers=8,
+    # GIL-free batch builders + zero-copy shm result transport (loader.py)
+    worker_mode="process",
     sync_scale=True,
 )
 

@@ -36,7 +36,19 @@ class ConcatDataset:
 
 
 def _batch_worker_main(task_q, result_q, payload):
-    """Process-pool worker: builds numpy-leaf batches end to end."""
+    """Process-pool worker: builds numpy-leaf batches end to end.
+
+    Workers are device-free by contract (they emit numpy-leaf batches);
+    pin jax to the host platform *before any array op* so a stray jnp
+    call can never initialize an accelerator client in every worker —
+    on a single-tenant TPU that deadlocks the whole pool against the
+    trainer process that owns the chip."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized (e.g. fork start method)
     ld = TrainLoader(
         payload["dataset"], payload["batch_size"], payload["pad_spec"],
         seed=payload["seed"], sync_scale=payload["sync_scale"],
@@ -46,13 +58,18 @@ def _batch_worker_main(task_q, result_q, payload):
         mesh_shards=payload["mesh_shards"],
         host_plan_cfg=payload["host_plan_cfg"])
     ld._device = False
+    use_shm = payload.get("shm_transport", True)
     while True:
         task = task_q.get()
         if task is None:
             return
         seq = task[0]
         try:
-            result_q.put((seq, ld._make_batch(*task[1:])))
+            b = ld._make_batch(*task[1:])
+            if use_shm:
+                from segdino3d_tpu.data.shm_transport import encode
+                b = encode(b)
+            result_q.put((seq, b))
         except BaseException as e:
             result_q.put((seq, e))
 
@@ -73,7 +90,8 @@ class TrainLoader:
                  process_count: int = 1,
                  mesh_shards: int = 1,
                  host_plan_cfg: Optional[Dict] = None,
-                 worker_mode: str = "thread"):
+                 worker_mode: str = "thread",
+                 shm_transport: bool = True):
         """``mesh_shards`` > 1 emits per-device stacked batches
         (``collate.stack_batches``) for shard_map data parallelism;
         ``host_plan_cfg`` (voxel_size, voxel_cap, ...) attaches host-built
@@ -83,7 +101,13 @@ class TrainLoader:
         (pipelined producer threads + per-record thread pool), or
         "process" (spawned worker processes building numpy-leaf batches —
         sidesteps the GIL, which binds this aug pipeline; see
-        tests/test_loader.py and STATUS.md measurements)."""
+        tests/test_loader.py and STATUS.md measurements).
+
+        ``shm_transport`` (process mode only): ship batches through
+        POSIX shared memory instead of pickling them through the result
+        queue's pipe — the parent gets zero-copy views (see
+        ``data/shm_transport.py``); auto-falls back to queue pickling
+        for tiny batches or if shm is unavailable."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_spec = pad_spec
@@ -97,6 +121,7 @@ class TrainLoader:
         self.mesh_shards = mesh_shards
         self.host_plan_cfg = host_plan_cfg
         self.worker_mode = worker_mode if num_workers > 0 else "sync"
+        self.shm_transport = shm_transport
         self._device = True
         if mesh_shards > 1:
             assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
@@ -171,6 +196,9 @@ class TrainLoader:
         in this process.  Batch order is preserved via sequence numbers."""
         import multiprocessing as mp
 
+        from segdino3d_tpu.data.shm_transport import (Graveyard, decode,
+                                                      track)
+
         ctx = mp.get_context("spawn")
         n_proc = self.num_workers
         task_q = ctx.Queue()
@@ -182,7 +210,8 @@ class TrainLoader:
             process_index=self.process_index,
             process_count=self.process_count,
             mesh_shards=self.mesh_shards,
-            host_plan_cfg=self.host_plan_cfg)
+            host_plan_cfg=self.host_plan_cfg,
+            shm_transport=self.shm_transport)
         procs = [ctx.Process(target=_batch_worker_main,
                              args=(task_q, result_q, payload), daemon=True)
                  for _ in range(n_proc)]
@@ -190,29 +219,80 @@ class TrainLoader:
             p.start()
         stream = enumerate(self._index_stream())
         in_flight = 0
+        graveyard = Graveyard()
+        pending = {}
         try:
             for _ in range(n_proc + self.prefetch):
                 seq, item = next(stream)
                 task_q.put((seq, *item))
                 in_flight += 1
-            pending = {}
             want = 0
             while True:
                 while want not in pending:
                     seq, b = result_q.get()
-                    pending[seq] = b
+                    pending[seq] = track(b)
                     in_flight -= 1
                 b = pending.pop(want)
                 if isinstance(b, BaseException):
                     raise b
+                b, shm = decode(b)
                 seq, item = next(stream)
                 task_q.put((seq, *item))
                 in_flight += 1
+                graveyard.sweep()
                 yield b
+                graveyard.add(shm)
                 want += 1
         finally:
+            # Graceful stop: sentinels, then drain results WHILE joining —
+            # a child exit blocks until its queue feeder flushes, so the
+            # parent must keep reading or the join deadlocks.  Reads are
+            # safe here because live workers only ever write complete
+            # frames.  Only stragglers past the deadline get terminate(),
+            # and the queue is never read after a terminate: a kill mid-
+            # write leaves a truncated frame that would block the reader.
+            import time as _time
+
+            from segdino3d_tpu.data.shm_transport import ShmBatch
+            import queue as _queue
+            try:
+                for _ in procs:
+                    task_q.put_nowait(None)
+            except Exception:
+                pass
+            deadline = _time.monotonic() + 15.0
+            while (any(p.is_alive() for p in procs)
+                   and _time.monotonic() < deadline):
+                try:
+                    seq, b = result_q.get(timeout=0.1)
+                    pending.setdefault(seq, track(b))
+                except (_queue.Empty, OSError, EOFError):
+                    pass
+                for p in procs:
+                    if not p.is_alive():
+                        p.join(timeout=0)
+            terminated = False
             for p in procs:
-                p.terminate()
+                if p.is_alive():
+                    p.terminate()
+                    terminated = True
+            if not terminated:
+                while True:
+                    try:
+                        seq, b = result_q.get_nowait()
+                        pending.setdefault(seq, track(b))
+                    except (_queue.Empty, OSError, EOFError):
+                        break
+            # unlink undecoded in-flight descriptors (already unregistered
+            # from the workers' trackers) so their segments aren't leaked
+            import multiprocessing.shared_memory as _msm
+            for item in pending.values():
+                if isinstance(item, ShmBatch):
+                    try:
+                        _msm.SharedMemory(name=item.name).unlink()
+                    except Exception:
+                        pass
+            graveyard.drain()
 
     @property
     def _record_pool(self):

@@ -113,9 +113,17 @@ class TestBucketing:
 
 
 class TestWorkerModes:
-    def test_process_mode_matches_sync(self, tmp_path):
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("shm", [True, False],
+                              ids=["shm_transport", "queue_pickle"])
+    def test_process_mode_matches_sync(self, tmp_path, shm, monkeypatch):
         """Process-pool workers must yield the identical batch stream as
-        the synchronous builder (numpy-leaf batches, same determinism)."""
+        the synchronous builder (numpy-leaf batches, same determinism) —
+        over both result transports (shared-memory and queue pickle)."""
+        # force the shm path even on these tiny batches (spawned workers
+        # inherit the env and re-read MIN_SHM_BYTES at import)
+        monkeypatch.setenv("SEGDINO_SHM_MIN_BYTES", "1")
         import jax
         from segdino3d_tpu.data.loader import TrainLoader
         from segdino3d_tpu.data.collate import PadSpec
@@ -140,10 +148,18 @@ class TestWorkerModes:
                   host_plan_cfg=dict(voxel_size=0.05, voxel_cap=4096,
                                      block_edges=(4, 4, 4, 4, 4)))
         sync = TrainLoader(ds, num_workers=0, **kw)
-        proc = TrainLoader(ds, num_workers=2, worker_mode="process", **kw)
+        proc = TrainLoader(ds, num_workers=2, worker_mode="process",
+                           shm_transport=shm, **kw)
         it_s, it_p = iter(sync), iter(proc)
+        got = []
         for _ in range(3):
             bs, bp = next(it_s), next(it_p)
+            got.append(bp)
             for a, b in zip(jax.tree_util.tree_leaves(bs),
                             jax.tree_util.tree_leaves(bp)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if shm:
+            # under the shm transport earlier batches must stay intact
+            # (views into distinct segments, not recycled buffers)
+            first_leaf = jax.tree_util.tree_leaves(got[0])[0]
+            assert np.isfinite(np.asarray(first_leaf, dtype=np.float64)).all()

@@ -223,6 +223,8 @@ def main():
         dataset, cfg.data.get("train_batch_size", 4), spec, seed=args.seed,
         sync_scale=cfg.data.get("sync_scale", True),
         num_workers=cfg.data.get("num_workers", 4),
+        worker_mode=cfg.data.get("worker_mode", "thread"),
+        shm_transport=cfg.data.get("shm_transport", True),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         mesh_shards=n_shards,
