@@ -369,12 +369,18 @@ class EvalLoader:
     def __init__(self, dataset, pad_spec: Optional[PadSpec] = None,
                  limit: Optional[int] = None, batch_size: int = 1,
                  bucket_policy=None, host_plan_cfg: Optional[Dict] = None,
-                 mesh_shards: int = 1):
+                 mesh_shards: int = 1, prefetch: int = 1):
         """``mesh_shards`` > 1 emits per-device *stacked* batches (leading
         axis = shards) for the mesh-sharded predict
         (``evaluation.evaluate(mesh=...)``); a partial tail batch is padded
         by repeating the last scene — only the real records are returned,
-        so the evaluator never sees the fillers."""
+        so the evaluator never sees the fillers.
+
+        ``prefetch`` > 0 builds up to that many batches ahead on a
+        background thread, overlapping host record-IO/collate/C++-plan
+        work with the consumer's device step (the driver otherwise pays
+        the full host build between every predict); 0 restores fully
+        synchronous iteration."""
         assert pad_spec is not None or bucket_policy is not None
         self.dataset = dataset
         self.pad_spec = pad_spec
@@ -383,6 +389,7 @@ class EvalLoader:
         self.bucket_policy = bucket_policy
         self.host_plan_cfg = host_plan_cfg
         self.mesh_shards = mesh_shards
+        self.prefetch = prefetch
         if mesh_shards > 1:
             assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
 
@@ -409,6 +416,48 @@ class EvalLoader:
         return batch
 
     def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        # bounded background builder: batch i+1 is assembled while the
+        # consumer runs the device step on batch i (order preserved — a
+        # single producer thread over the sequential stream)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END = object()
+
+        def _put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for item in self._iter_sync():
+                    if not _put(item):
+                        return
+                _put(_END)
+            except BaseException as e:   # surface in the consumer
+                _put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _iter_sync(self):
         rng = np.random.RandomState(0)
         n = self.num_scenes
         for lo in range(0, n, self.batch_size):
