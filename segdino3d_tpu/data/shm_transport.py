@@ -89,7 +89,12 @@ def encode(obj: Any, min_bytes: int = MIN_SHM_BYTES):
     """
     buffers: List[pickle.PickleBuffer] = []
     payload = pickle.dumps(obj, protocol=5, buffer_callback=buffers.append)
-    raws = [b.raw().cast("B") for b in buffers]
+    try:
+        # raw() requires C-contiguity; numpy emits PickleBuffers for
+        # F-contiguous arrays too, which must fall back to queue pickling
+        raws = [b.raw().cast("B") for b in buffers]
+    except BufferError:
+        return obj
     total = sum(r.nbytes for r in raws)
     if total < min_bytes:
         return obj
