@@ -334,12 +334,17 @@ def main():
             n_points=n_points, s_cap=s_cap, i_cap=64, k2d=128, batch=1,
             num_layers=6, d_model=256, n_sem=200, n_inst_cls=198,
             feat2d=256, init=False)
+        # BENCH_TRAIN_STEM_GATHER=1 measures the hybrid layout in training
+        # (the scatter-free custom VJP makes the gather paths competitive
+        # in the backward — see ops/sparse_conv._subm_conv_bwd)
+        tr_stem_gather = os.environ.get("BENCH_TRAIN_STEM_GATHER", "0") != "0"
         tb_recs = [ds.get_record(500 + j)
                    for j in range(tb)]
         tb_batch = collate(tb_recs, spec)
         tb_batch = attach_host_plan(tb_batch, tb_recs, spec, voxel_size=0.02,
                                     voxel_cap=tvc, level_cap_ratios=ratios,
-                                    block_edges=tr_edges)
+                                    block_edges=tr_edges,
+                                    stem_gather=tr_stem_gather)
         tx, _sched = build_optimizer(
             dict(lr=1e-4, weight_decay=0.05),
             dict(total_iters=1000, power=0.9), clip_max_norm=10.0)

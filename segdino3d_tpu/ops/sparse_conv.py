@@ -210,12 +210,28 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
     square matmuls on v5e) and the serial depth is n_chunks, not n_offsets.
     ``target_elems`` bounds the transient im2col buffer.
 
+    Differentiation goes through a custom VJP (scatter-free backward via
+    the submanifold mirror symmetry — see ``_subm_conv_bwd``); odd
+    centered kernels only, which is all a *submanifold* conv can be.
+
     Args:
         feats: (V, Cin).
         nbr: (n_off, V) offset-major neighbor table for this level & kernel.
         weights: (n_off, Cin, Cout).
         valid: (V,) bool.
     """
+    assert weights.shape[0] % 2 == 1, "submanifold kernels are odd/centered"
+    return _subm_conv_cd(feats, nbr, weights, valid, target_elems)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _subm_conv_cd(feats, nbr, weights, valid, target_elems):
+    return _subm_conv_impl(feats, nbr, weights, valid, target_elems)
+
+
+def _subm_conv_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
+                    weights: jnp.ndarray, valid: jnp.ndarray,
+                    target_elems: int = 6_000_000) -> jnp.ndarray:
     v = feats.shape[0]
     n_off, cin, cout = weights.shape
 
@@ -273,6 +289,75 @@ def subm_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
     _, outs = jax.lax.scan(body, None, xs)
     out = outs.reshape(v_pad, cout)[:v]
     return jnp.where(valid[:, None], out, 0.0)
+
+
+def _subm_conv_fwd(feats, nbr, weights, valid, target_elems):
+    out = _subm_conv_impl(feats, nbr, weights, valid, target_elems)
+    return out, (feats, nbr, weights, valid)
+
+
+def _subm_conv_bwd(target_elems, res, dout):
+    """Scatter-free backward via the submanifold mirror symmetry.
+
+    For odd centered kernels in canonical product order,
+    ``offsets[n-1-o] == -offsets[o]``, so valid pairs biject:
+    ``nbr[o, j] == i  <=>  nbr[n-1-o, i] == j``.  Rewriting the autodiff
+    scatter-adds through that bijection:
+
+    * ``dX[i] = sum_o' dY[nbr[o', i]] @ W[n-1-o']^T`` — the backward is
+      itself a gather-conv with offset-flipped, transposed weights;
+    * ``dW[n-1-o'] = X^T @ gather(dY, nbr[o'])`` — the same gathered rows
+      feed the weight gradient.
+
+    One fused chunk loop therefore computes both grads from a single
+    row-gather of ``dY`` (width Cout — for the wide-input stem this is
+    8x narrower than what autodiff scatters), two MXU GEMMs per chunk,
+    and **no scatter at all**.  It also recomputes the im2col patches
+    instead of saving them, so nothing scan-carried from the forward is
+    kept alive (autodiff retains the stacked (V, n_off*Cin) patches —
+    hundreds of MB per layer at production sizes).
+    """
+    feats, nbr, weights, valid = res
+    n_off, cin, cout = weights.shape
+    v = feats.shape[0]
+    dy = jnp.where(valid[:, None], dout, 0).astype(feats.dtype)
+    # W[mirror(o')]^T blocks, flattened K-major to pair with the dY im2col
+    w_bwd = jnp.flip(weights, axis=0).transpose(0, 2, 1) \
+        .reshape(n_off * cout, cin).astype(feats.dtype)
+
+    k_dim = n_off * cout
+    chunk = max(256, min(v, 1 << max(8, (target_elems // max(k_dim, 1))
+                                     .bit_length() - 1)))
+    n_chunks = -(-v // chunk)
+    v_pad = n_chunks * chunk
+    nbr_p = jnp.concatenate(
+        [nbr, jnp.full((n_off, v_pad - v), -1, jnp.int32)], axis=1) \
+        if v_pad != v else nbr
+    feats_p = jnp.concatenate(
+        [feats, jnp.zeros((v_pad - v, cin), feats.dtype)]) \
+        if v_pad != v else feats
+
+    def body(dw_acc, xs):
+        chunk_nbr, x_c = xs                      # (n_off, chunk), (chunk, cin)
+        g = _gather_rows(dy, chunk_nbr.T.reshape(-1)).reshape(chunk, k_dim)
+        dx_c = jnp.dot(g, w_bwd, preferred_element_type=jnp.float32)
+        dw_acc = dw_acc + jnp.dot(x_c.T, g,
+                                  preferred_element_type=jnp.float32)
+        return dw_acc, dx_c.astype(feats.dtype)
+
+    xs = (nbr_p.reshape(n_off, n_chunks, chunk).transpose(1, 0, 2),
+          feats_p.reshape(n_chunks, chunk, cin))
+    dw_flat, dx_chunks = jax.lax.scan(
+        body, jnp.zeros((cin, k_dim), jnp.float32), xs)
+    dx = dx_chunks.reshape(v_pad, cin)[:v]
+    # dw_flat column-block o' holds dW[mirror(o')] -> flip back to natural
+    dw = jnp.flip(dw_flat.reshape(cin, n_off, cout).transpose(1, 0, 2),
+                  axis=0).astype(weights.dtype)
+    f0 = jax.dtypes.float0
+    return (dx, np.zeros(nbr.shape, f0), dw, np.zeros(valid.shape, f0))
+
+
+_subm_conv_cd.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
 def down_conv(feats: jnp.ndarray, fine: Level, coarse: Level,

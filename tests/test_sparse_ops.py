@@ -267,3 +267,81 @@ class TestConvPaths:
             ref[sel] += fn[nb[o][sel]] @ wn[o]
         np.testing.assert_allclose(np.asarray(out_premul), ref,
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestSubmConvGrad:
+    """Custom-VJP (scatter-free mirror backward) vs plain autodiff of the
+    underlying implementation."""
+
+    def _setup(self, k, cin, cout, seed, n=150, extent=8, n_invalid=0):
+        coords = np.unique(_rand_coords(n, extent=extent, batch=1,
+                                        seed=seed), axis=0)
+        grid = _grid_of(coords)
+        nv = coords.shape[0]
+        offsets = SC.kernel_offsets(k)
+        nbr = SC._neighbor_table(plan_level0(grid), offsets)
+        rng = np.random.RandomState(seed + 1)
+        feats = jnp.asarray(rng.randn(nv, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k ** 3, cin, cout).astype(np.float32))
+        valid = grid.valid
+        if n_invalid:
+            valid = jnp.asarray(
+                np.asarray(valid) & (np.arange(nv) < nv - n_invalid))
+            # neighbor tables encode validity; rebuild with masked level
+            lvl = plan_level0(grid)._replace(valid=valid)
+            nbr = SC._neighbor_table(lvl, offsets)
+        cot = jnp.asarray(rng.randn(nv, cout).astype(np.float32))
+        return feats, nbr, w, valid, cot
+
+    def _compare(self, *args):
+        feats, nbr, w, valid, cot = args
+
+        def loss_custom(f, wt):
+            return (SC.subm_conv(f, nbr, wt, valid) * cot).sum()
+
+        def loss_auto(f, wt):
+            return (SC._subm_conv_impl(f, nbr, wt, valid) * cot).sum()
+
+        gf_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(feats, w)
+        gf_a, gw_a = jax.grad(loss_auto, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_a),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_k3_im2col_shapes(self):
+        self._compare(*self._setup(3, 6, 5, seed=21))
+
+    def test_k3_widein_premul_forward(self):
+        # cin > 2*cout selects the matmul-first forward; backward is shared
+        self._compare(*self._setup(3, 24, 3, seed=22))
+
+    def test_k5_stem_like(self):
+        self._compare(*self._setup(5, 19, 4, seed=23, n=120, extent=6))
+
+    def test_invalid_rows_get_zero_grad(self):
+        feats, nbr, w, valid, cot = self._setup(3, 6, 5, seed=24,
+                                                n_invalid=7)
+        self._compare(feats, nbr, w, valid, cot)
+        gf = jax.grad(lambda f: (SC.subm_conv(f, nbr, w, valid)
+                                 * cot).sum())(feats)
+        assert np.all(np.asarray(gf)[~np.asarray(valid)] == 0)
+
+    def test_multi_chunk_loop(self):
+        # tiny target_elems forces several scan chunks in fwd and bwd
+        feats, nbr, w, valid, cot = self._setup(3, 6, 5, seed=25)
+
+        def loss_custom(f, wt):
+            return (SC.subm_conv(f, nbr, wt, valid,
+                                 target_elems=4096) * cot).sum()
+
+        def loss_auto(f, wt):
+            return (SC._subm_conv_impl(f, nbr, wt, valid,
+                                       target_elems=4096) * cot).sum()
+
+        gf_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(feats, w)
+        gf_a, gw_a = jax.grad(loss_auto, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_a),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a),
+                                   rtol=2e-4, atol=2e-4)
