@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from segdino3d_tpu.data.collate import eval_annotation
@@ -38,28 +39,40 @@ def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
     ``evaluate_3d.py:45``)."""
 
     def one_scene(out_b, sp_ids, point_valid, points):
-        inst = predict_instance(
+        # the score threshold is a pure final validity filter inside
+        # predict_instance (everything else — top-k, NMS, unpooling, box
+        # filter, npoint counts — is threshold-independent), so ONE base
+        # run at the lower threshold serves both the instance and the
+        # panoptic consumers instead of running the full postproc twice
+        # (reference reruns predict_by_feat per task, baseline3d.py:373+)
+        thr_i = test_cfg.get("inst_score_thr", 0.0)
+        thr_p = test_cfg.get("pan_score_thr", 0.5)
+        base = predict_instance(
             out_b["cls_preds"], out_b["masks"], out_b["query_valid"],
             out_b["sp_valid"], sp_ids, point_valid, points,
-            test_cfg.get("inst_score_thr", 0.0), test_cfg,
+            min(thr_i, thr_p), test_cfg,
             centers=out_b.get("centers"), sizes=out_b.get("sizes"),
             scores_q=out_b.get("scores"),
             filter_outofbox=filter_outofbox)
+
+        def at_threshold(thr):
+            # scores were zeroed only where base.valid is False — those
+            # slots stay invalid under any stricter filter, so the intact
+            # scores drive the re-filter exactly as a direct run would
+            valid = base.valid & (base.scores > thr)
+            return base._replace(
+                valid=valid, scores=jnp.where(valid, base.scores, 0.0))
+
+        inst = at_threshold(thr_i)
+        pan_inst = at_threshold(thr_p)
+        sem = predict_semantic(out_b["sem_preds"], sp_ids)
+        pan_sem, pan_map = predict_panoptic(
+            out_b["sem_preds"], pan_inst, sp_ids, n_stuff,
+            test_cfg.get("npoint_thr", 100))
         # bit-pack the (topk, P) bool masks on device: the device->host
         # instance-mask transfer is eval's dominant traffic (~78 MB/scene
         # unpacked at 600x131k); the driver unpacks the valid rows only
         inst = inst._replace(point_masks=pack_bits(inst.point_masks))
-        sem = predict_semantic(out_b["sem_preds"], sp_ids)
-        pan_inst = predict_instance(
-            out_b["cls_preds"], out_b["masks"], out_b["query_valid"],
-            out_b["sp_valid"], sp_ids, point_valid, points,
-            test_cfg.get("pan_score_thr", 0.5), test_cfg,
-            centers=out_b.get("centers"), sizes=out_b.get("sizes"),
-            scores_q=out_b.get("scores"),
-            filter_outofbox=filter_outofbox)
-        pan_sem, pan_map = predict_panoptic(
-            out_b["sem_preds"], pan_inst, sp_ids, n_stuff,
-            test_cfg.get("npoint_thr", 100))
         return inst, sem, pan_sem, pan_map
 
     def predict_local(variables, batch):

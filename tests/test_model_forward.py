@@ -147,3 +147,47 @@ class TestModelForward:
             outputs["sem_preds"][b0], inst, batch.superpoint_ids[b0],
             n_stuff_classes=2, npoint_thr=2)
         assert sem_pan.shape == (200,) and inst_pan.shape == (200,)
+
+
+class TestThresholdDerivation:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = tiny_model()
+        batch = tiny_batch()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "queries": jax.random.PRNGKey(1)},
+            batch, False)
+        return model, batch, variables
+
+    def test_derived_filter_matches_direct_run(self, setup):
+        """The eval driver derives the panoptic-threshold instance set from
+        one base predict_instance run (evaluate.make_predict_fn); that must
+        equal running predict_instance directly at the higher threshold."""
+        model, batch, variables = setup
+        outputs, _ = model.apply(variables, batch, False)
+        test_cfg = dict(topk_insts=20, inst_score_thr=0.0, pan_score_thr=0.5,
+                        npoint_thr=2, obj_normalization=True,
+                        sp_score_thr=0.4, nms=True,
+                        matrix_nms_kernel="linear")
+        b0 = 0
+        args = (outputs["cls_preds"][b0], outputs["masks"][b0],
+                outputs["query_valid"][b0], outputs["sp_valid"][b0],
+                batch.superpoint_ids[b0], batch.point_valid[b0],
+                batch.points[b0, :, :3])
+        kw = dict(centers=outputs["centers"][b0], sizes=outputs["sizes"][b0],
+                  filter_outofbox=True)
+        for thr in (0.3, 0.5):
+            direct = predict_instance(*args, thr, test_cfg, **kw)
+            base = predict_instance(*args, 0.0, test_cfg, **kw)
+            valid = base.valid & (base.scores > thr)
+            derived = base._replace(
+                valid=valid, scores=jnp.where(valid, base.scores, 0.0))
+            np.testing.assert_array_equal(np.asarray(direct.valid),
+                                          np.asarray(derived.valid))
+            np.testing.assert_allclose(np.asarray(direct.scores),
+                                       np.asarray(derived.scores))
+            np.testing.assert_array_equal(np.asarray(direct.point_masks),
+                                          np.asarray(derived.point_masks))
+            np.testing.assert_array_equal(np.asarray(direct.labels),
+                                          np.asarray(derived.labels))
