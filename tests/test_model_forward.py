@@ -160,6 +160,7 @@ class TestThresholdDerivation:
             batch, False)
         return model, batch, variables
 
+    @pytest.mark.slow
     def test_derived_filter_matches_direct_run(self, setup):
         """The eval driver derives the panoptic-threshold instance set from
         one base predict_instance run (evaluate.make_predict_fn); that must
