@@ -74,11 +74,13 @@ def predict_instance(cls_preds: jnp.ndarray,      # (Q, C+1)
         qidx = qidx[order]
         inst_valid = inst_valid[order] & jnp.isfinite(scores)
 
-    # superpoint -> point unpooling + binarize
+    # superpoint -> point unpooling + binarize.  Threshold BEFORE the
+    # unpool: gathering (k, S) bools to (k, P) moves 4x less HBM than
+    # gathering the float sigmoids and comparing after (same result —
+    # per-point values are exact copies of their superpoint's).
     sp_safe = jnp.clip(sp_ids, 0, m_sig.shape[1] - 1)
-    pt_sig = m_sig[:, sp_safe]                              # (k, P)
-    pt_mask = (pt_sig > test_cfg.get("sp_score_thr", 0.4)) \
-        & point_valid[None, :]
+    sp_mask = m_sig > test_cfg.get("sp_score_thr", 0.4)     # (k, S)
+    pt_mask = sp_mask[:, sp_safe] & point_valid[None, :]
 
     # score / npoint thresholds (reference keeps strict >)
     inst_valid = inst_valid & (scores > score_threshold)
