@@ -27,6 +27,7 @@ from 27/conv to 2/stage.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -94,6 +95,12 @@ def occupancy(tables: BlockTables, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((n_dense,), bool).at[slot].set(True, mode="drop")
 
 
+def _shell_dirs():
+    import itertools as _it
+
+    return [d for d in _it.product((-1, 0, 1), repeat=3) if d != (0, 0, 0)]
+
+
 def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
              halo: int) -> jnp.ndarray:
     """(B, E, E, E, C) -> (B, E+2h, E+2h, E+2h, C) with 26-neighbor halos.
@@ -108,13 +115,26 @@ def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
     neighbors' halos, which silently zeroes a present diagonal block
     whenever the intermediate face block is unoccupied — common on real
     surface geometry at small edges (caught by the e4 L0 parity test).
-    """
-    import itertools as _it
 
+    Differentiation goes through a custom VJP: the neighbor relation is
+    involutive (``nbr_d[i] = j  <=>  nbr_{-d}[j] = i``), so the backward
+    is a mirrored halo-GATHER of the cotangent's shell regions plus
+    static-slice adds — autodiff would instead emit 26 row scatter-adds
+    per conv layer (see ``_halo_pad_bwd``).
+    """
+    return _halo_pad_cd(blocks, block_nbr, halo)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _halo_pad_cd(blocks, block_nbr, halo):
+    return _halo_pad_impl(blocks, block_nbr, halo)
+
+
+def _halo_pad_impl(blocks, block_nbr, halo):
     h = halo
     b, e, c = blocks.shape[0], blocks.shape[1], blocks.shape[-1]
     sl = {-1: slice(e - h, e), 0: slice(0, e), 1: slice(0, h)}
-    shell = [d for d in _it.product((-1, 0, 1), repeat=3) if d != (0, 0, 0)]
+    shell = _shell_dirs()
     parts = {(0, 0, 0): blocks}
     for di, d in enumerate(shell):
         slab = blocks[:, sl[d[0]], sl[d[1]], sl[d[2]], :].reshape(b, -1)
@@ -128,6 +148,40 @@ def halo_pad(blocks: jnp.ndarray, block_nbr: jnp.ndarray,
                                        for dz in (-1, 0, 1)], axis=3))
         xs.append(jnp.concatenate(ys, axis=2))
     return jnp.concatenate(xs, axis=1)
+
+
+def _halo_pad_fwd(blocks, block_nbr, halo):
+    return (_halo_pad_impl(blocks, block_nbr, halo),
+            (block_nbr, blocks.shape))
+
+
+def _halo_pad_bwd(halo, res, dp):
+    """Scatter-free halo backward.
+
+    Forward copied ``blocks[nbr_d[i]]``'s d-slab into i's d-halo; the
+    cotangent flows back as ``d_blocks[j].slab(d) += d_shell_region(d)
+    [nbr_{-d}[j]]`` — a gather with the MIRRORED neighbor row (the shell
+    list in product order mirrors by index reversal: shell[25-i] ==
+    -shell[i]), landing on a static sub-slice of the core.  26 gathers +
+    static-slice adds replace autodiff's 26 row scatter-adds.
+    """
+    block_nbr, shape = res
+    h = halo
+    b, e, c = shape[0], shape[1], shape[-1]
+    # region of direction d inside the padded tensor / inside the core
+    psl = {-1: slice(0, h), 0: slice(h, e + h), 1: slice(e + h, e + 2 * h)}
+    sl = {-1: slice(e - h, e), 0: slice(0, e), 1: slice(0, h)}
+    shell = _shell_dirs()
+    dblocks = dp[:, h:e + h, h:e + h, h:e + h, :]
+    for di, d in enumerate(shell):
+        region = dp[:, psl[d[0]], psl[d[1]], psl[d[2]], :]
+        contrib = _take0(region.reshape(b, -1), block_nbr[25 - di])
+        dblocks = dblocks.at[:, sl[d[0]], sl[d[1]], sl[d[2]], :].add(
+            contrib.reshape(region.shape))
+    return dblocks, np.zeros(block_nbr.shape, jax.dtypes.float0)
+
+
+_halo_pad_cd.defvjp(_halo_pad_fwd, _halo_pad_bwd)
 
 
 # transient halo-padded buffer budget before the conv chunks over blocks.

@@ -193,3 +193,35 @@ class TestBackboneDenseParity:
         out_h = ap(vars_, feats, up_hybrid, False)
         rel = float(jnp.abs(out_h - out_g).max() / jnp.abs(out_g).max())
         assert rel < 3e-3, rel
+
+
+class TestHaloPadGrad:
+    def test_shell_mirror_order(self):
+        shell = BD._shell_dirs()
+        for i, d in enumerate(shell):
+            assert shell[25 - i] == tuple(-x for x in d)
+
+    def test_grad_matches_autodiff(self):
+        """Custom VJP (mirrored halo-gather) == autodiff scatter backward,
+        on a real C++-built neighbor table with absent neighbors."""
+        plan, uplan = _plan(seed=5, n=400, box=16, batches=1,
+                            edges=(4, 4, 4, 4, 4),
+                            caps=(1024, 512, 256, 128, 64))
+        t = uplan.blocks[0]
+        rng = np.random.RandomState(2)
+        nb = int(t.num_blocks)
+        for h in (1, 2):
+            x = jnp.asarray(rng.randn(nb, t.edge, t.edge, t.edge, 3)
+                            .astype(np.float32))
+            cot = jnp.asarray(
+                rng.randn(nb, t.edge + 2 * h, t.edge + 2 * h,
+                          t.edge + 2 * h, 3).astype(np.float32))
+
+            g_custom = jax.grad(
+                lambda v: (BD.halo_pad(v, t.block_nbr, h) * cot).sum())(x)
+            g_auto = jax.grad(
+                lambda v: (BD._halo_pad_impl(v, t.block_nbr, h)
+                           * cot).sum())(x)
+            np.testing.assert_allclose(np.asarray(g_custom),
+                                       np.asarray(g_auto),
+                                       rtol=1e-5, atol=1e-5)
