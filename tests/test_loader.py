@@ -163,3 +163,31 @@ class TestWorkerModes:
             # (views into distinct segments, not recycled buffers)
             first_leaf = jax.tree_util.tree_leaves(got[0])[0]
             assert np.isfinite(np.asarray(first_leaf, dtype=np.float64)).all()
+
+
+class _FailingDS:
+    """Module-level (picklable for spawn) dataset that raises on idx 5."""
+
+    def __len__(self):
+        return 8
+
+    def get_record(self, idx, rng, sync_scale=None):
+        if idx == 5:
+            raise ValueError("boom at idx 5")
+        return synthetic_scene(idx, n_points=500, n_superpoints=16,
+                               n_classes=8, n_queries2d=4, feat_dim_2d=4)
+
+
+def test_process_worker_exception_propagates():
+    """A record-loader exception inside a spawned worker must surface in
+    the consuming process (not hang, not be swallowed); the pool must
+    shut down cleanly afterwards."""
+    import pytest as _pytest
+
+    loader = TrainLoader(_FailingDS(), 4, SPEC, seed=0, num_workers=2,
+                         worker_mode="process")
+    it = iter(loader)
+    with _pytest.raises(ValueError, match="boom at idx 5"):
+        for _ in range(4):   # idx 5 appears within the first 2 epochs
+            next(it)
+    it.close()
