@@ -47,37 +47,44 @@ def inverse_sigmoid(x, eps=1e-5):
 
 
 class FFN(nn.Module):
-    """Feed-forward block (reference :153-190)."""
+    """Feed-forward block (reference :153-190).
+
+    ``dtype`` sets the matmul compute dtype (params stay f32); the
+    closing LayerNorm promotes back to f32 at the residual boundary,
+    so a bf16 FFN never degrades the residual stream itself."""
     d_model: int
     hidden_dim: int
     dropout: float
     activation_fn: str = "gelu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         act = nn.relu if self.activation_fn == "relu" else nn.gelu
-        h = nn.Dense(self.hidden_dim, name="lin1")(x)
+        h = nn.Dense(self.hidden_dim, name="lin1", dtype=self.dtype)(x)
         h = act(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.d_model, name="lin2")(h)
+        h = nn.Dense(self.d_model, name="lin2", dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(name="norm")(x + h)
 
 
 class StandardCrossAttention(nn.Module):
     """nn.MultiheadAttention-equivalent CA + residual + norm ("fix" variant,
-    reference CrossAttentionLayer :36-114): full q/k/v in-projections."""
+    reference CrossAttentionLayer :36-114): full q/k/v in-projections.
+    ``dtype`` as in ``FFN`` (attention softmax is always f32)."""
     d_model: int
     num_heads: int
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, sources, queries, blocked=None, deterministic=True):
-        q = nn.Dense(self.d_model, name="q_proj")(queries)
-        k = nn.Dense(self.d_model, name="k_proj")(sources)
-        v = nn.Dense(self.d_model, name="v_proj")(sources)
+        q = nn.Dense(self.d_model, name="q_proj", dtype=self.dtype)(queries)
+        k = nn.Dense(self.d_model, name="k_proj", dtype=self.dtype)(sources)
+        v = nn.Dense(self.d_model, name="v_proj", dtype=self.dtype)(sources)
         out = multi_head_attention(q, k, v, self.num_heads, blocked)
-        out = nn.Dense(self.d_model, name="out_proj")(out)
+        out = nn.Dense(self.d_model, name="out_proj", dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return nn.LayerNorm(name="norm")(queries + out)
 
@@ -115,6 +122,13 @@ class ScanNetQueryDecoder(nn.Module):
     box_modulate_ca: bool = True
     normalize_box_prediction: bool = True
     use_activation_checkpoint: bool = False
+    # matmul compute dtype for the attention/FFN projections ("bfloat16"
+    # halves their HBM traffic and doubles MXU rate). Numerics guardrails
+    # regardless of this setting: params stay f32, every LayerNorm
+    # (block boundary) and attention softmax computes f32, and the
+    # prediction heads + mask logits (out_*, x_mask*, bbox/ref MLPs, PE)
+    # are exempt — they stay f32 because thresholds read their outputs.
+    compute_dtype: str = "float32"
 
     def _head(self, queries, mask_feats, sp_valid, query_valid, last_flag):
         """Iterative prediction head (reference :532-577)."""
@@ -139,6 +153,8 @@ class ScanNetQueryDecoder(nn.Module):
 
     def setup(self):
         D = self.d_model
+        dt = (None if self.compute_dtype == "float32"
+              else jnp.dtype(self.compute_dtype))
         # activation checkpointing (reference `_checkpoint_forward`,
         # instance_seg_3d_decoder.py:270-284): remat the per-layer blocks
         # so the backward pass recomputes attention/FFN activations
@@ -147,7 +163,7 @@ class ScanNetQueryDecoder(nn.Module):
         remat_xattn = (nn.remat(StandardCrossAttention, static_argnums=(4,))
                        if self.use_activation_checkpoint
                        else StandardCrossAttention)
-        self.input_proj_dense = nn.Dense(D, name="input_proj_dense")
+        self.input_proj_dense = nn.Dense(D, name="input_proj_dense", dtype=dt)
         self.input_proj_norm = nn.LayerNorm(name="input_proj_norm")
         if self.num_instance_queries + self.num_semantic_queries > 0:
             self.query_embed = nn.Embed(
@@ -171,7 +187,7 @@ class ScanNetQueryDecoder(nn.Module):
 
         L = self.num_layers
         self.ffns = [remat_ffn(D, self.hidden_dim, self.dropout,
-                               self.activation_fn, name=f"ffn_{i}")
+                               self.activation_fn, dt, name=f"ffn_{i}")
                      for i in range(L)]
 
         if self.add_positional_embedding:
@@ -192,33 +208,33 @@ class ScanNetQueryDecoder(nn.Module):
             if self.box_modulate_ca:
                 self.ref_anchor_head = MLP(D, 3, 2, name="ref_anchor_head")
             # cross-attention projections (reference :483-499)
-            self.ca_qpos_proj = nn.Dense(D, name="ca_qpos_proj")  # layer-0 only
-            self.ca_qcontent_proj = [nn.Dense(D, name=f"ca_qcontent_proj_{i}") for i in range(L)]
-            self.ca_kcontent_proj = [nn.Dense(D, name=f"ca_kcontent_proj_{i}") for i in range(L)]
-            self.ca_kpos_proj = [nn.Dense(D, name=f"ca_kpos_proj_{i}") for i in range(L)]
-            self.ca_v_proj = [nn.Dense(D, name=f"ca_v_proj_{i}") for i in range(L)]
-            self.ca_qpos_sine_proj = [nn.Dense(D, name=f"ca_qpos_sine_proj_{i}") for i in range(L)]
-            self.ca_out_proj = [nn.Dense(D, name=f"ca_out_proj_{i}") for i in range(L)]
+            self.ca_qpos_proj = nn.Dense(D, name="ca_qpos_proj", dtype=dt)  # layer-0 only
+            self.ca_qcontent_proj = [nn.Dense(D, name=f"ca_qcontent_proj_{i}", dtype=dt) for i in range(L)]
+            self.ca_kcontent_proj = [nn.Dense(D, name=f"ca_kcontent_proj_{i}", dtype=dt) for i in range(L)]
+            self.ca_kpos_proj = [nn.Dense(D, name=f"ca_kpos_proj_{i}", dtype=dt) for i in range(L)]
+            self.ca_v_proj = [nn.Dense(D, name=f"ca_v_proj_{i}", dtype=dt) for i in range(L)]
+            self.ca_qpos_sine_proj = [nn.Dense(D, name=f"ca_qpos_sine_proj_{i}", dtype=dt) for i in range(L)]
+            self.ca_out_proj = [nn.Dense(D, name=f"ca_out_proj_{i}", dtype=dt) for i in range(L)]
             self.ca_norm = [nn.LayerNorm(name=f"ca_norm_{i}") for i in range(L)]
             # self-attention projections (reference :501-515)
-            self.sa_qcontent_proj = [nn.Dense(D, name=f"sa_qcontent_proj_{i}") for i in range(L)]
-            self.sa_qpos_proj = [nn.Dense(D, name=f"sa_qpos_proj_{i}") for i in range(L)]
-            self.sa_kcontent_proj = [nn.Dense(D, name=f"sa_kcontent_proj_{i}") for i in range(L)]
-            self.sa_kpos_proj = [nn.Dense(D, name=f"sa_kpos_proj_{i}") for i in range(L)]
-            self.sa_v_proj = [nn.Dense(D, name=f"sa_v_proj_{i}") for i in range(L)]
-            self.sa_out_proj = [nn.Dense(D, name=f"sa_out_proj_{i}") for i in range(L)]
+            self.sa_qcontent_proj = [nn.Dense(D, name=f"sa_qcontent_proj_{i}", dtype=dt) for i in range(L)]
+            self.sa_qpos_proj = [nn.Dense(D, name=f"sa_qpos_proj_{i}", dtype=dt) for i in range(L)]
+            self.sa_kcontent_proj = [nn.Dense(D, name=f"sa_kcontent_proj_{i}", dtype=dt) for i in range(L)]
+            self.sa_kpos_proj = [nn.Dense(D, name=f"sa_kpos_proj_{i}", dtype=dt) for i in range(L)]
+            self.sa_v_proj = [nn.Dense(D, name=f"sa_v_proj_{i}", dtype=dt) for i in range(L)]
+            self.sa_out_proj = [nn.Dense(D, name=f"sa_out_proj_{i}", dtype=dt) for i in range(L)]
             self.sa_norm = [nn.LayerNorm(name=f"sa_norm_{i}") for i in range(L)]
         else:
             self.plain_ca = [remat_xattn(
-                D, self.num_heads, self.dropout, name=f"plain_ca_{i}")
+                D, self.num_heads, self.dropout, dt, name=f"plain_ca_{i}")
                 for i in range(L)]
             self.plain_sa = [remat_xattn(
-                D, self.num_heads, self.dropout, name=f"plain_sa_{i}")
+                D, self.num_heads, self.dropout, dt, name=f"plain_sa_{i}")
                 for i in range(L)]
 
         if self.add_dinox_query_ca:
             self.dinox_ca = [remat_xattn(
-                D, self.num_heads, self.dropout, name=f"dinox_ca_{i}")
+                D, self.num_heads, self.dropout, dt, name=f"dinox_ca_{i}")
                 for i in range(L)]
 
     def score_superpoints(self, sp_feats):

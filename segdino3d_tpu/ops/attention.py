@@ -62,9 +62,13 @@ def multi_head_attention(
     kh = k.reshape(b, s, num_heads, hd_q)
     vh = v.reshape(b, s, num_heads, hd_v)
 
-    logits = jnp.einsum("bqhd,bshd->bhqs", qh * scale, kh)
+    # logits/softmax stay f32 even for bf16 q/k (the MXU accumulates f32
+    # anyway; bf16 exp/normalize would cost real mask-threshold precision),
+    # probabilities cast back so the AV matmul runs at the input dtype
+    logits = jnp.einsum("bqhd,bshd->bhqs", qh * scale, kh,
+                        preferred_element_type=jnp.float32)
     if blocked is not None:
         blocked = blocked[:, None, :, :]  # broadcast over heads
-    p = masked_softmax(logits, blocked)
+    p = masked_softmax(logits, blocked).astype(v.dtype)
     out = jnp.einsum("bhqs,bshd->bqhd", p, vh)
     return out.reshape(b, nq, dv)

@@ -192,3 +192,34 @@ class TestThresholdDerivation:
                                           np.asarray(derived.point_masks))
             np.testing.assert_array_equal(np.asarray(direct.labels),
                                           np.asarray(derived.labels))
+
+
+class TestDecoderBf16:
+    @pytest.mark.slow
+    def test_bf16_decoder_close_to_f32(self):
+        """decoder compute_dtype="bfloat16" must track the f32 outputs
+        within bf16 tolerance (params f32; LN / softmax / heads stay f32
+        by design, so the drift is bounded by the projection matmuls)."""
+        import dataclasses
+
+        model = tiny_model()
+        batch = tiny_batch()
+        rngs = {"params": jax.random.PRNGKey(0),
+                "queries": jax.random.PRNGKey(1)}
+        variables = model.init(rngs, batch, False)
+
+        dec_bf = dataclasses.replace(model.decoder,
+                                     compute_dtype="bfloat16")
+        model_bf = dataclasses.replace(model, decoder=dec_bf)
+
+        out32, _ = model.apply(variables, batch, False)
+        outbf, _ = model_bf.apply(variables, batch, False)
+        # class logits: moderate tolerance; relative on the logit scale
+        a = np.asarray(out32["cls_preds"], np.float32)
+        b = np.asarray(outbf["cls_preds"], np.float32)
+        scale = np.maximum(np.abs(a).max(), 1.0)
+        assert np.max(np.abs(a - b)) / scale < 0.05
+        m = np.asarray(out32["masks"], np.float32)
+        mb = np.asarray(outbf["masks"], np.float32)
+        mscale = np.maximum(np.abs(m).max(), 1.0)
+        assert np.max(np.abs(m - mb)) / mscale < 0.05
