@@ -110,8 +110,12 @@ def predict_instance(cls_preds: jnp.ndarray,      # (Q, C+1)
 def predict_semantic(sem_preds: jnp.ndarray,     # (S, C_sem+1) (queries==sps)
                      sp_ids: jnp.ndarray,        # (P,)
                      classes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Reference :488-507 — per-superpoint argmax broadcast to points."""
-    cols = sem_preds if classes is None else sem_preds[:, classes]
+    """Reference :488-507 — per-superpoint argmax broadcast to points.
+
+    ``classes=None`` means all *real* classes: the trailing no-object
+    column is excluded from the argmax (reference :539-540 defaults
+    ``classes = range(n_sem)``)."""
+    cols = sem_preds[:, :-1] if classes is None else sem_preds[:, classes]
     sp_arg = jnp.argmax(cols, axis=-1).astype(jnp.int32)
     sp_safe = jnp.clip(sp_ids, 0, sem_preds.shape[0] - 1)
     return sp_arg[sp_safe]

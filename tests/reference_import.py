@@ -83,13 +83,35 @@ def _fake_segdino3d(torch):
         setattr(pkg, reg, mmengine.Registry(reg.lower()))
     pkg.build_loss = lambda cfg: mmengine.build_from_cfg(cfg, pkg.LOSSES)
     pkg.build_matcher = lambda cfg: mmengine.build_from_cfg(cfg, pkg.MATCHERS)
+    for builder in ("build_backbone", "build_decoder", "build_text_encoder"):
+        setattr(pkg, builder, lambda cfg: None)
     sys.modules["segdino3d"] = pkg
     for sub in ("segdino3d.models", "segdino3d.models.module",
-                "segdino3d.models.decoder", "segdino3d.models.loss"):
+                "segdino3d.models.decoder", "segdino3d.models.loss",
+                "segdino3d.models.architecture"):
         m = types.ModuleType(sub)
         m.__path__ = [os.path.join(REF_ROOT, *sub.split("."))]
         sys.modules[sub] = m
     return pkg
+
+
+def _stub_mmdet3d():
+    """``baseline3d.py`` imports ``mmdet3d.structures.PointData`` — a
+    kwargs results container; a trivial stand-in suffices for executing
+    the postproc methods."""
+    if "mmdet3d" in sys.modules:
+        return
+
+    class PointData:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    mod = types.ModuleType("mmdet3d")
+    structures = types.ModuleType("mmdet3d.structures")
+    structures.PointData = PointData
+    mod.structures = structures
+    sys.modules["mmdet3d"] = mod
+    sys.modules["mmdet3d.structures"] = structures
 
 
 def _load_file(dotted: str, rel: str):
@@ -119,7 +141,9 @@ def load_reference_modules():
     if "segdino3d" not in sys.modules:
         _stub_mmengine(torch)
         _stub_misc()
+        _stub_mmdet3d()
         _fake_segdino3d(torch)
+        _load_file("segdino3d.gtypes", "segdino3d/gtypes.py")
         _load_file("segdino3d.models.module.pc_util",
                    "segdino3d/models/module/pc_util.py")
         _load_file("segdino3d.models.module.utils",
@@ -130,10 +154,13 @@ def load_reference_modules():
                    "segdino3d/models/loss/loss_3d.py")
         _load_file("segdino3d.models.decoder.instance_seg_3d_decoder",
                    "segdino3d/models/decoder/instance_seg_3d_decoder.py")
+        _load_file("segdino3d.models.architecture.baseline3d",
+                   "segdino3d/models/architecture/baseline3d.py")
     _cache = dict(
         loss_3d=sys.modules["segdino3d.models.loss.loss_3d"],
         attention=sys.modules["segdino3d.models.module.attention"],
         utils=sys.modules["segdino3d.models.module.utils"],
         decoder=sys.modules["segdino3d.models.decoder.instance_seg_3d_decoder"],
+        baseline3d=sys.modules["segdino3d.models.architecture.baseline3d"],
     )
     return _cache
