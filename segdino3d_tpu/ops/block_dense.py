@@ -261,14 +261,13 @@ def dense_subm_conv(dense_flat: jnp.ndarray, occ: jnp.ndarray,
 
 
 def _chunked_conv(dense_flat, occ, tables, weights, k, h, chunk):
-    """Chunked conv: gather exactly the halo slabs each shell direction
-    contributes (pre-sliced once per conv), so traffic stays ~2-3x the
-    core instead of 27 full neighbor blocks."""
-    import itertools as _it
+    return _chunked_conv_cd(dense_flat, occ, weights, tables.block_nbr,
+                            tables.edge, k, chunk)
 
-    n_off, cin, cout = weights.shape
-    b, edge = tables.num_blocks, tables.edge
-    e3 = edge ** 3
+
+def _chunk_ids(block_nbr, b, chunk):
+    """Chunk-padded self/neighbor id tables: (n_chunks, chunk) and
+    (n_chunks, 26, chunk); padding ids are -1 (gather as zeros)."""
     n_chunks = -(-b // chunk)
     b_pad = n_chunks * chunk
 
@@ -277,40 +276,113 @@ def _chunked_conv(dense_flat, occ, tables, weights, k, h, chunk):
             [x, jnp.full((x.shape[0], b_pad - x.shape[1]), -1, jnp.int32)],
             axis=1) if b_pad != b else x
 
-    sl = {-1: slice(edge - h, edge), 0: slice(0, edge), 1: slice(0, h)}
-    shell = [d for d in _it.product((-1, 0, 1), repeat=3) if d != (0, 0, 0)]
-    core5 = dense_flat.reshape(b, edge, edge, edge, cin)
-    # pre-slice the slab each direction contributes: the +x neighbor fills
-    # the center's high-x halo with its own low-x cells = sl[+1] etc.
-    slabs = [core5[:, sl[dx], sl[dy], sl[dz], :].reshape(b, -1)
-             for (dx, dy, dz) in shell]
-    nbr = padb(tables.block_nbr)          # (26, b_pad)
     self_ids = padb(jnp.arange(b, dtype=jnp.int32)[None])[0]
-    core = dense_flat.reshape(b, e3 * cin)
+    nbr = padb(block_nbr)
+    return (self_ids.reshape(n_chunks, chunk),
+            nbr.reshape(26, n_chunks, chunk).transpose(1, 0, 2))
+
+
+def _assemble_padded(x_rows, b, ids_self, ids_nbr, edge, h, chunk):
+    """Halo-padded (chunk, E+2h, E+2h, E+2h, C) tile for one block chunk,
+    gathering exactly the slab each shell direction contributes.
+    ``x_rows`` is (b*edge^3, C) flat dense rows."""
+    c = x_rows.shape[-1]
+    sl = {-1: slice(edge - h, edge), 0: slice(0, edge), 1: slice(0, h)}
+    shell = _shell_dirs()
+    core5 = x_rows.reshape(b, edge, edge, edge, c)
+    core = x_rows.reshape(b, edge ** 3 * c)
+    parts = {(0, 0, 0): _take0(core, ids_self)
+             .reshape(chunk, edge, edge, edge, c)}
+    for di, d in enumerate(shell):
+        slab = core5[:, sl[d[0]], sl[d[1]], sl[d[2]], :].reshape(b, -1)
+        ext = (h if d[0] else edge, h if d[1] else edge, h if d[2] else edge)
+        parts[d] = _take0(slab, ids_nbr[di]).reshape(chunk, *ext, c)
+    xs = []
+    for dx in (-1, 0, 1):
+        ys = []
+        for dy in (-1, 0, 1):
+            ys.append(jnp.concatenate([parts[(dx, dy, dz)]
+                                       for dz in (-1, 0, 1)], axis=3))
+        xs.append(jnp.concatenate(ys, axis=2))
+    return jnp.concatenate(xs, axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _chunked_conv_cd(dense_flat, occ, weights, block_nbr, edge, k, chunk):
+    """Chunked conv: gather exactly the halo slabs each shell direction
+    contributes, so traffic stays ~2-3x the core instead of 27 full
+    neighbor blocks.  Custom VJP (below) keeps the backward scatter-free
+    too — autodiff through the slab gathers would emit 26 row
+    scatter-adds per chunk."""
+    return _chunked_conv_impl(dense_flat, occ, weights, block_nbr,
+                              edge, k, chunk)
+
+
+def _chunked_conv_impl(dense_flat, occ, weights, block_nbr, edge, k, chunk):
+    n_off, cin, cout = weights.shape
+    h = (k - 1) // 2
+    b = block_nbr.shape[1]
+    e3 = edge ** 3
+    ids_self, ids_nbr = _chunk_ids(block_nbr, b, chunk)
+    b_pad = ids_self.shape[0] * chunk
 
     def one_chunk(args):
-        ids_self, ids_nbr = args          # (chunk,), (26, chunk)
-        parts = {(0, 0, 0): _take0(core, ids_self)
-                 .reshape(chunk, edge, edge, edge, cin)}
-        for di, d in enumerate(shell):
-            dxe = h if d[0] else edge
-            dye = h if d[1] else edge
-            dze = h if d[2] else edge
-            parts[d] = _take0(slabs[di], ids_nbr[di]).reshape(
-                chunk, dxe, dye, dze, cin)
-        xs = []
-        for dx in (-1, 0, 1):
-            ys = []
-            for dy in (-1, 0, 1):
-                zs = [parts[(dx, dy, dz)] for dz in (-1, 0, 1)]
-                ys.append(jnp.concatenate(zs, axis=3))
-            xs.append(jnp.concatenate(ys, axis=2))
-        padded = jnp.concatenate(xs, axis=1)
+        padded = _assemble_padded(dense_flat, b, args[0], args[1],
+                                  edge, h, chunk)
         out = _conv_valid(padded, weights, k, cin, cout, dense_flat.dtype)
         return out.reshape(chunk * e3, cout)
 
-    outs = jax.lax.map(one_chunk, (self_ids.reshape(n_chunks, chunk),
-                                   nbr.reshape(26, n_chunks, chunk)
-                                   .transpose(1, 0, 2)))
+    outs = jax.lax.map(one_chunk, (ids_self, ids_nbr))
     out = outs.reshape(b_pad * e3, cout)[:b * e3]
+    if occ is None:
+        return out
     return jnp.where(occ[:, None], out, 0.0)
+
+
+def _chunked_conv_fwd(dense_flat, occ, weights, block_nbr, edge, k, chunk):
+    out = _chunked_conv_impl(dense_flat, occ, weights, block_nbr,
+                             edge, k, chunk)
+    return out, (dense_flat, occ, weights, block_nbr)
+
+
+def _chunked_conv_bwd(edge, k, chunk, res, dp):
+    """Scatter-free chunked backward via the same mirror symmetry as
+    ``_halo_pad_bwd``: the forward is ``out = M_occ · C · x`` with ``C``
+    the block-halo cross-correlation, whose adjacency is involutive
+    (``nbr_d[i] = j <=> nbr_{-d}[j] = i``), so ``C^T`` is the SAME
+    chunked conv with offset-flipped, channel-transposed weights:
+    ``d_x = C^T(M_occ dp)`` — no scatter-adds.  ``dW`` accumulates per
+    chunk through the dense conv's own weight-VJP under ``lax.scan``."""
+    dense_flat, occ, weights, block_nbr = res
+    n_off, cin, cout = weights.shape
+    h = (k - 1) // 2
+    b = block_nbr.shape[1]
+    e3 = edge ** 3
+    dpm = dp if occ is None else jnp.where(occ[:, None], dp, 0)
+
+    w_t = weights[::-1].transpose(0, 2, 1)       # flip offsets, swap io
+    d_dense = _chunked_conv_impl(dpm, None, w_t, block_nbr, edge, k, chunk)
+
+    ids_self, ids_nbr = _chunk_ids(block_nbr, b, chunk)
+
+    def dw_chunk(acc, args):
+        ids_s, ids_n = args
+        padded = _assemble_padded(dense_flat, b, ids_s, ids_n,
+                                  edge, h, chunk)
+        dpc = _take0(dpm.reshape(b, e3 * cout), ids_s).reshape(
+            chunk, edge, edge, edge, cout)
+        _, vjp = jax.vjp(
+            lambda w: _conv_valid(padded, w, k, cin, cout, dpc.dtype),
+            weights)
+        return acc + vjp(dpc)[0].astype(jnp.float32), None
+
+    dw, _ = jax.lax.scan(dw_chunk,
+                         jnp.zeros(weights.shape, jnp.float32),
+                         (ids_self, ids_nbr))
+    occ_ct = (None if occ is None
+              else np.zeros(occ.shape, jax.dtypes.float0))
+    return (d_dense, occ_ct, dw.astype(weights.dtype),
+            np.zeros(block_nbr.shape, jax.dtypes.float0))
+
+
+_chunked_conv_cd.defvjp(_chunked_conv_fwd, _chunked_conv_bwd)

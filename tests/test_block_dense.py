@@ -225,3 +225,44 @@ class TestHaloPadGrad:
             np.testing.assert_allclose(np.asarray(g_custom),
                                        np.asarray(g_auto),
                                        rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_chunked_grad_matches_autodiff(self, k):
+        """The chunked path's custom VJP (mirror-conv d_x + scanned dW)
+        == autodiff through the chunk assembly's gathers, for both
+        operands, with occ masking, absent neighbors, and a block count
+        not divisible by the chunk size."""
+        plan, uplan = _plan(seed=7, n=700, box=24, batches=1,
+                            edges=(4, 4, 4, 4, 4),
+                            caps=(2048, 512, 256, 128, 64))
+        t = uplan.blocks[0]
+        valid = uplan.levels[0].valid
+        occ = BD.occupancy(t, valid)
+        rng = np.random.RandomState(3)
+        v = t.vox_slot.shape[0]
+        cin, cout = 6, 5
+        feats = jnp.where(valid[:, None],
+                          jnp.asarray(rng.randn(v, cin).astype(np.float32)),
+                          0.0)
+        dense = BD.scatter_to_dense(feats, t)
+        w = jnp.asarray(rng.randn(k ** 3, cin, cout).astype(np.float32) * .1)
+        cot = jnp.asarray(
+            rng.randn(dense.shape[0], cout).astype(np.float32))
+        # pick a chunk size that does NOT divide num_blocks, so the
+        # chunk-padding (-1 ids) path is exercised too
+        chunk = next(c for c in (3, 4, 5, 7) if int(t.num_blocks) % c)
+
+        def custom(d, wt):
+            return (BD._chunked_conv_cd(d, occ, wt, t.block_nbr,
+                                        t.edge, k, chunk) * cot).sum()
+
+        def auto(d, wt):
+            return (BD._chunked_conv_impl(d, occ, wt, t.block_nbr,
+                                          t.edge, k, chunk) * cot).sum()
+
+        gd_c, gw_c = jax.grad(custom, argnums=(0, 1))(dense, w)
+        gd_a, gw_a = jax.grad(auto, argnums=(0, 1))(dense, w)
+        np.testing.assert_allclose(np.asarray(gd_c), np.asarray(gd_a),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a),
+                                   rtol=1e-4, atol=1e-5)
