@@ -44,16 +44,27 @@ A100_REFERENCE_SCENES_PER_SEC = 2.5   # estimated; see module docstring
 
 class _SynthDataset:
     """Module-level (picklable for spawn workers) synthetic scene source —
-    stands in for the disk reader in the pipeline bench."""
+    stands in for the disk reader in the pipeline bench.
 
-    def __init__(self, n_points, s_cap):
+    With ``spool_dir`` set, records are generated ONCE and spooled to
+    disk as ``.npz``; later reads load+decode the file, which is what a
+    production loader actually does per record (the ScanNet reader
+    consumes preprocessed ``.bin``/``.pth`` files).  Without spooling the
+    "load" stage would measure numpy RNG *generation* (~7 s/scene on one
+    core) — a bench artifact ~50x slower than reading a warm record and
+    part of no real pipeline.  Records are deterministic in ``idx``, so a
+    spool dir keyed by the shape parameters is reusable across runs."""
+
+    def __init__(self, n_points, s_cap, spool_dir=None, n_records=64):
         self.n_points = n_points
         self.s_cap = s_cap
+        self.spool_dir = spool_dir
+        self.n_records = n_records
 
     def __len__(self):
-        return 64
+        return self.n_records
 
-    def get_record(self, idx, rng=None, sync_scale=None):
+    def _generate(self, idx):
         import numpy as np
 
         from segdino3d_tpu.data.synthetic import synthetic_scene
@@ -64,6 +75,28 @@ class _SynthDataset:
         # production loaders read DINO-X features as fp16
         # (``feats_2d_dtype``) — halves the dominant transfer
         r["points_2dfeats"] = r["points_2dfeats"].astype(np.float16)
+        return r
+
+    def get_record(self, idx, rng=None, sync_scale=None):
+        if self.spool_dir is None:
+            return self._generate(idx)
+        import numpy as np
+
+        path = os.path.join(self.spool_dir, f"rec{idx}.npz")
+        if not os.path.exists(path):
+            r = self._generate(idx)
+            arrays = {k: v for k, v in r.items()
+                      if isinstance(v, np.ndarray)}
+            tmp = f"{path}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrays)
+            os.replace(tmp, path)       # atomic vs concurrent workers
+            return r
+        with np.load(path) as z:
+            r = {k: z[k] for k in z.files}
+        r["scene_id"] = f"synth{idx:04d}"
+        r["scene_idx"] = idx
+        r["elastic_coords"] = None
         return r
 
 
@@ -149,7 +182,23 @@ def main():
     ratios = tuple(float(x) for x in os.environ.get(
         "BENCH_LEVEL_RATIOS", "1.0,0.4,0.15,0.06,0.025").split(","))
 
-    ds = _SynthDataset(n_scene_points, s_cap)
+    n_records = int(os.environ.get("BENCH_PIPE_RECORDS", "16"))
+    spool = os.environ.get(
+        "BENCH_SPOOL_DIR",
+        f"/tmp/segdino_spool_{n_scene_points}_{s_cap}")
+    os.makedirs(spool, exist_ok=True)
+    ds = _SynthDataset(n_scene_points, s_cap, spool_dir=spool,
+                       n_records=n_records)
+    tb = int(os.environ.get("BENCH_TRAIN_BATCH", "1"))
+    t0 = time.time()
+    touched = (list(range(n_records))
+               + [100 + i * batch_size + j for i in range(3)
+                  for j in range(batch_size)]
+               + [200 + j for j in range(batch_size)]
+               + [500 + j for j in range(tb)])
+    for i in touched:
+        ds.get_record(i)
+    spool_s = time.time() - t0
 
     # auto mode pins ONE set of bucketed caps for every batch the bench
     # builds: per-batch auto-probing is the production default, but bucket
@@ -241,7 +290,10 @@ def main():
     pipe_line = ""
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
         # -- stage decomposition (sync): what a production host pays per
-        # batch, independent of this box's dev-tunnel transfer bandwidth
+        # batch, independent of this box's dev-tunnel transfer bandwidth.
+        # "load" reads a spooled record (file decode, warm page cache) —
+        # the per-record work of a real loader over preprocessed .bin
+        # files, not RNG generation.
         stage_recs = [[ds.get_record(100 + i * batch_size + j)
                        for j in range(batch_size)] for i in range(3)]
         t_load = time.time()
@@ -273,10 +325,10 @@ def main():
                                            (ts_collate, ts_plan)))) / workers
         proj = batch_size / (max(host_ms, dt * 1000) / 1000)
         pipe_line = (
-            f" pipe_stages[ms/batch]: load={1000 * t_load:.0f} "
+            f" pipe_stages[ms/batch]: load(spooled)={1000 * t_load:.0f} "
             f"collate={c_ms:.0f} plan={p_ms:.0f} device_put={u_ms:.0f} "
-            f"(dev-tunnel ~12MB/s; PCIe-host projection @ {workers} "
-            f"workers: {proj:.2f} scenes/s)")
+            f"(spool_once={spool_s:.0f}s; dev-tunnel ~12MB/s; PCIe-host "
+            f"projection @ {workers} workers: {proj:.2f} scenes/s)")
 
         # -- overlapped pipeline through the production process loader
         # (GIL-free workers build complete numpy batches; upload+compute
