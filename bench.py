@@ -183,9 +183,11 @@ def main():
         "BENCH_LEVEL_RATIOS", "1.0,0.4,0.15,0.06,0.025").split(","))
 
     n_records = int(os.environ.get("BENCH_PIPE_RECORDS", "16"))
+    # v1: bump when synthetic_scene's generation changes so a stale
+    # spool from an earlier build can't serve old records
     spool = os.environ.get(
         "BENCH_SPOOL_DIR",
-        f"/tmp/segdino_spool_{n_scene_points}_{s_cap}")
+        f"/tmp/segdino_spool_v1_{n_scene_points}_{s_cap}")
     os.makedirs(spool, exist_ok=True)
     ds = _SynthDataset(n_scene_points, s_cap, spool_dir=spool,
                        n_records=n_records)
