@@ -84,3 +84,48 @@ class TestTorchImport:
             # applying twice returns identity (transpose symmetric in x/z swap)
             double = perm[perm]
             np.testing.assert_array_equal(double, np.arange(k ** 3))
+
+
+class TestPreemptionSave:
+    def test_sigterm_checkpoints_and_exits_cleanly(self, tmp_path):
+        """A SIGTERM mid-loop must checkpoint at the next step boundary
+        and return (clean preemption) instead of killing the process;
+        training must be resumable from that checkpoint."""
+        import os
+        import signal
+        import threading
+
+        from segdino3d_tpu.train.checkpoint import latest_step
+        from segdino3d_tpu.train.engine import train_loop
+
+        state, _ = tiny_state()
+
+        def step_fn(state, batch, rng):
+            import time as _t
+            _t.sleep(0.05)
+            return (state.replace(step=state.step + 1),
+                    {"total_loss": jnp.asarray(1.0)})
+
+        class Loader:
+            def __iter__(self):
+                import itertools
+                return itertools.count()
+
+        # deliver SIGTERM to ourselves shortly after the loop starts
+        timer = threading.Timer(
+            0.4, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        timer.start()
+        try:
+            out = train_loop(step_fn=step_fn, state=state, train_loader=Loader(),
+                             num_iterations=10_000, print_freq=10_000,
+                             save_step=10_000, work_dir=str(tmp_path))
+        finally:
+            timer.cancel()
+        done = int(out.step)
+        assert 0 < done < 10_000          # exited early, after >=1 step
+        assert latest_step(str(tmp_path)) == done
+        restored = restore_checkpoint(str(tmp_path), jax.device_get(state))
+        assert int(restored.step) == done
+        # handlers restored: SIGTERM disposition is back to the default
+        assert signal.getsignal(signal.SIGTERM) in (
+            signal.SIG_DFL, signal.default_int_handler)
