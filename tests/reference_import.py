@@ -98,7 +98,11 @@ def _fake_segdino3d(torch):
 def _stub_mmdet3d():
     """``baseline3d.py`` imports ``mmdet3d.structures.PointData`` — a
     kwargs results container; a trivial stand-in suffices for executing
-    the postproc methods."""
+    the postproc methods.  ``utils_instance_seg_3d_eval.py`` additionally
+    imports ``util_3d`` for ``get_instances``: the public ScanNet
+    benchmark helper vendored by mmdet3d, whose whole contract is the
+    ``1000 * semantic + instance`` id encoding the reference's own
+    ``rename_gt`` produces (:484-491) — reproduced verbatim below."""
     if "mmdet3d" in sys.modules:
         return
 
@@ -106,12 +110,58 @@ def _stub_mmdet3d():
         def __init__(self, **kw):
             self.__dict__.update(kw)
 
+    import numpy as np
+
+    def get_instances(mesh_vert_instances, class_ids, class_labels,
+                      id2label):
+        instances = {label: [] for label in class_labels}
+        for iid in np.unique(mesh_vert_instances):
+            if iid == 0:
+                continue
+            label_id = int(iid // 1000)
+            if label_id in class_ids:
+                instances[id2label[label_id]].append(dict(
+                    instance_id=int(iid), label_id=label_id,
+                    vert_count=int(
+                        np.count_nonzero(mesh_vert_instances == iid)),
+                    med_dist=-1, dist_conf=0.0))
+        return instances
+
     mod = types.ModuleType("mmdet3d")
     structures = types.ModuleType("mmdet3d.structures")
     structures.PointData = PointData
     mod.structures = structures
     sys.modules["mmdet3d"] = mod
     sys.modules["mmdet3d.structures"] = structures
+    util_3d = types.ModuleType(
+        "mmdet3d.evaluation.functional.scannet_utils.util_3d")
+    util_3d.get_instances = get_instances
+    parent = "mmdet3d.evaluation.functional.scannet_utils"
+    for name in ("mmdet3d.evaluation", "mmdet3d.evaluation.functional",
+                 parent):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    setattr(sys.modules[parent], "util_3d", util_3d)
+    sys.modules[f"{parent}.util_3d"] = util_3d
+
+    # terminaltables / mmengine.logging: report-formatting only
+    if "terminaltables" not in sys.modules:
+        tt = types.ModuleType("terminaltables")
+
+        class AsciiTable:
+            def __init__(self, rows):
+                self.rows = rows
+                self.inner_footing_row_border = False
+
+            @property
+            def table(self):
+                return "\n".join("  ".join(map(str, r)) for r in self.rows)
+
+        tt.AsciiTable = AsciiTable
+        sys.modules["terminaltables"] = tt
+    if "mmengine.logging" not in sys.modules:
+        ml = types.ModuleType("mmengine.logging")
+        ml.print_log = lambda msg, logger=None: None
+        sys.modules["mmengine.logging"] = ml
 
 
 def _load_file(dotted: str, rel: str):
@@ -156,7 +206,10 @@ def load_reference_modules():
                    "segdino3d/models/decoder/instance_seg_3d_decoder.py")
         _load_file("segdino3d.models.architecture.baseline3d",
                    "segdino3d/models/architecture/baseline3d.py")
+        _load_file("ref_eval_protocol",
+                   "evaluation/utils_instance_seg_3d_eval.py")
     _cache = dict(
+        eval_protocol=sys.modules["ref_eval_protocol"],
         loss_3d=sys.modules["segdino3d.models.loss.loss_3d"],
         attention=sys.modules["segdino3d.models.module.attention"],
         utils=sys.modules["segdino3d.models.module.utils"],
