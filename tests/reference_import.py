@@ -173,6 +173,34 @@ def _load_file(dotted: str, rel: str):
     return mod
 
 
+def _stub_transform_deps():
+    """``point_cloud_transforms.py`` imports torchvision/PIL and two mm
+    transform BASE classes at module level.  The executable parity
+    targets (``ElasticTransfrom``, ``NormalizePointsColor``) are plain
+    ``object`` classes — the bases are only needed so the flip/rot class
+    *definitions* parse; they are never instantiated here (their logic
+    lives in mm and would be re-derivation to stub)."""
+    for name in ("PIL", "torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    md = types.ModuleType("mmdet.datasets.transforms")
+    md.RandomFlip = type("RandomFlip", (), {})
+    sys.modules.setdefault("mmdet", types.ModuleType("mmdet"))
+    sys.modules.setdefault("mmdet.datasets", types.ModuleType("mmdet.datasets"))
+    sys.modules["mmdet.datasets.transforms"] = md
+    m3t = types.ModuleType("mmdet3d.datasets.transforms")
+    m3t.GlobalRotScaleTrans = type("GlobalRotScaleTrans", (), {})
+    sys.modules.setdefault("mmdet3d.datasets",
+                           types.ModuleType("mmdet3d.datasets"))
+    sys.modules["mmdet3d.datasets.transforms"] = m3t
+    bbu = types.ModuleType("mmdet3d.structures.bbox_3d.utils")
+    bbu.rotation_3d_in_axis = None        # unused by the parity targets
+    sys.modules.setdefault("mmdet3d.structures.bbox_3d",
+                           types.ModuleType("mmdet3d.structures.bbox_3d"))
+    sys.modules["mmdet3d.structures.bbox_3d.utils"] = bbu
+
+
 _cache = None
 
 
@@ -208,7 +236,11 @@ def load_reference_modules():
                    "segdino3d/models/architecture/baseline3d.py")
         _load_file("ref_eval_protocol",
                    "evaluation/utils_instance_seg_3d_eval.py")
+        _stub_transform_deps()
+        _load_file("ref_pc_transforms",
+                   "segdino3d/datasets/transform/point_cloud_transforms.py")
     _cache = dict(
+        pc_transforms=sys.modules["ref_pc_transforms"],
         eval_protocol=sys.modules["ref_eval_protocol"],
         loss_3d=sys.modules["segdino3d.models.loss.loss_3d"],
         attention=sys.modules["segdino3d.models.module.attention"],

@@ -171,3 +171,55 @@ class TestSemanticPanopticParity:
         # stuff points (id < n_stuff in the reference) must agree exactly
         stuff = ref_inst < len(TEST_CFG["stuff_classes"])
         np.testing.assert_array_equal(o_inst[stuff], ref_inst[stuff])
+
+
+class TestTransformParity:
+    def test_elastic_matches_reference(self):
+        """Our two-scale elastic (shared noise reused for query2d_pos)
+        must reproduce the executed reference ElasticTransfrom exactly
+        when fed the same RNG stream (same draw order: one rand() gate,
+        then 3x randn per scale)."""
+        from segdino3d_tpu.data.transforms import ElasticTransform
+
+        rng0 = np.random.RandomState(31)
+        pts = np.hstack([rng0.rand(500, 3).astype(np.float32) * 4 - 2,
+                         rng0.randint(0, 255, (500, 3)).astype(np.float32)])
+        q2d = (rng0.rand(9, 3) * 4 - 2).astype(np.float32)
+
+        RefElastic = REF["pc_transforms"].ElasticTransfrom
+        ref_t = {"extra_features": {"query2d_pos": torch.as_tensor(q2d)}}
+        np.random.seed(77)
+        _, ref_out = RefElastic(gran=(6, 20), mag=(40, 160),
+                                voxel_size=0.02, p=1.0)(
+            torch.as_tensor(pts.copy()), ref_t)
+
+        ours_t = {"extra_features": {"query2d_pos": q2d.copy()}}
+        _, out = ElasticTransform(gran=(6, 20), mag=(40, 160),
+                                  voxel_size=0.02, p=1.0)(
+            pts.copy(), ours_t, np.random.RandomState(77))
+
+        np.testing.assert_allclose(
+            np.asarray(out["elastic_coords"]),
+            ref_out["elastic_coords"].numpy(), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["extra_features"]["elastic_coords_query2d_pos"]),
+            ref_out["extra_features"]["elastic_coords_query2d_pos"].numpy(),
+            rtol=1e-5, atol=1e-4)
+
+    def test_color_normalize_matches_reference(self):
+        from segdino3d_tpu.data.transforms import (NormalizePointsColor,
+                                                   SCANNET_COLOR_MEAN,
+                                                   SCANNET_COLOR_STD)
+
+        rng = np.random.RandomState(5)
+        pts = np.hstack([rng.rand(64, 3).astype(np.float32),
+                         rng.randint(0, 255, (64, 3)).astype(np.float32)])
+        RefNorm = REF["pc_transforms"].NormalizePointsColor
+        ref_pts, _ = RefNorm(list(SCANNET_COLOR_MEAN),
+                             list(SCANNET_COLOR_STD))(
+            torch.as_tensor(pts.copy()), {})
+        ours, _ = NormalizePointsColor(SCANNET_COLOR_MEAN,
+                                       SCANNET_COLOR_STD)(
+            pts.copy(), {}, rng)
+        np.testing.assert_allclose(ours[:, 3:6], ref_pts.numpy()[:, 3:6],
+                                   rtol=1e-6, atol=1e-6)
