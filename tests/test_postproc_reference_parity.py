@@ -223,3 +223,87 @@ class TestTransformParity:
             pts.copy(), {}, rng)
         np.testing.assert_allclose(ours[:, 3:6], ref_pts.numpy()[:, 3:6],
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestGtBoxParity:
+    """GT instance centers/sizes + scene range vs the executed reference
+    ``get_extra_instance_data`` (baseline3d.py:266-306), both center
+    modes, with and without elastic coords, including an empty
+    instance (stays zeros) and ragged scenes under our padding."""
+
+    @pytest.mark.parametrize("mode", ["median", "mean"])
+    @pytest.mark.parametrize("elastic", [False, True])
+    def test_centers_sizes_range(self, mode, elastic):
+        from types import SimpleNamespace
+
+        from segdino3d_tpu.gtypes import SceneBatch
+        from segdino3d_tpu.models.architecture.segdino3d import \
+            compute_scene_range_and_boxes
+
+        rng = np.random.RandomState(13)
+        voxel = 0.02
+        n_pts, n_inst = [300, 240], [5, 3]
+        P, I = 320, 6
+        t = torch.as_tensor
+
+        m = object.__new__(REF["baseline3d"].Baseline3D)
+        m.backbone = SimpleNamespace(voxel_size=voxel)
+        m.mode_3d_center = mode
+
+        class Tgt(dict):
+            def __setattr__(self, k, v):
+                self[k] = v
+
+            def __getattr__(self, k):
+                return self[k]
+
+        samples, targets = [], []
+        pts_pad = np.zeros((2, P, 6), np.float32)
+        ids_pad = np.full((2, P), -1, np.int32)
+        el_pad = np.zeros((2, P, 3), np.float32)
+        pvalid = np.zeros((2, P), bool)
+        for j in range(2):
+            pts = (rng.rand(n_pts[j], 6) * 3).astype(np.float32)
+            ids = rng.randint(-1, n_inst[j], n_pts[j])
+            ids[ids == n_inst[j] - 1] = -1      # last instance empty
+            el = (rng.rand(n_pts[j], 3) * 100).astype(np.float32)
+            masks = np.stack([(ids == k) for k in range(n_inst[j])])
+            tg = Tgt()
+            tg["masks"] = t(masks)[..., None]
+            if elastic:
+                tg["elastic_coords"] = t(el)
+            samples.append(t(pts))
+            targets.append(tg)
+            pts_pad[j, :n_pts[j]] = pts
+            ids_pad[j, :n_pts[j]] = ids
+            el_pad[j, :n_pts[j]] = el
+            pvalid[j, :n_pts[j]] = True
+
+        srange = m.get_extra_instance_data(
+            samples, targets, add_instance_centers=True,
+            add_instance_axis_aligned_box=True)
+
+        batch = SceneBatch(
+            points=jnp.asarray(pts_pad), point_valid=jnp.asarray(pvalid),
+            superpoint_ids=jnp.zeros((2, P), jnp.int32),
+            num_superpoints=jnp.ones((2,), jnp.int32),
+            elastic_coords=jnp.asarray(el_pad) if elastic else None,
+            inst_labels=jnp.zeros((2, I), jnp.int32),
+            point_inst_ids=jnp.asarray(ids_pad))
+        o_range, o_ctr, o_sz = compute_scene_range_and_boxes(
+            batch, voxel, mode)
+
+        for j in range(2):
+            lo, hi = srange[j]
+            np.testing.assert_allclose(np.asarray(o_range[j, 0]), lo.numpy(),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(o_range[j, 1]), hi.numpy(),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(o_ctr[j, :n_inst[j]]),
+                targets[j]["instance_centers"].numpy(),
+                rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(o_sz[j, :n_inst[j]]),
+                targets[j]["instance_sizes"].numpy(),
+                rtol=1e-5, atol=1e-5)
