@@ -307,3 +307,50 @@ class TestGtBoxParity:
                 np.asarray(o_sz[j, :n_inst[j]]),
                 targets[j]["instance_sizes"].numpy(),
                 rtol=1e-5, atol=1e-5)
+
+
+class TestPEParity:
+    """Positional embeddings vs the executed reference
+    PositionEmbeddingCoordsSine (utils.py:23-164) — sine (plain and
+    box-modulated) and Gaussian-Fourier (sharing the reference's own
+    gauss_B buffer)."""
+
+    def test_sine_matches_executed_reference(self):
+        from segdino3d_tpu.ops.pos_embed import sine_pos_embed
+
+        rng = np.random.RandomState(3)
+        xyz = rng.uniform(-2, 4, (2, 50, 3)).astype(np.float32)
+        lo = xyz.min(1) - 0.2
+        hi = xyz.max(1) + 0.2
+        mod = rng.uniform(0.5, 2.0, (2, 50, 3)).astype(np.float32)
+        pe = REF["utils"].PositionEmbeddingCoordsSine(
+            temperature=20, normalize=True, pos_type="sine", d_pos=256)
+        t = torch.as_tensor
+        for m in (None, mod):
+            ref = pe(t(xyz), num_channels=256,
+                     input_range=(t(lo), t(hi)),
+                     modulated=None if m is None else t(m))
+            got = sine_pos_embed(
+                jnp.asarray(xyz), 256,
+                (jnp.asarray(lo), jnp.asarray(hi)), temperature=20.0,
+                modulated=None if m is None else jnp.asarray(m))
+            np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_fourier_matches_executed_reference(self):
+        from segdino3d_tpu.ops.pos_embed import fourier_pos_embed
+
+        rng = np.random.RandomState(4)
+        xyz = rng.uniform(-1, 3, (2, 40, 3)).astype(np.float32)
+        lo = xyz.min(1) - 0.2
+        hi = xyz.max(1) + 0.2
+        torch.manual_seed(0)
+        pe = REF["utils"].PositionEmbeddingCoordsSine(
+            normalize=True, pos_type="fourier", d_pos=128, gauss_scale=1.0)
+        t = torch.as_tensor
+        ref = pe(t(xyz), num_channels=128, input_range=(t(lo), t(hi)))
+        got = fourier_pos_embed(
+            jnp.asarray(xyz), jnp.asarray(pe.gauss_B.numpy()), 128,
+            (jnp.asarray(lo), jnp.asarray(hi)))
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                                   rtol=2e-4, atol=2e-4)
