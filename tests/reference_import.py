@@ -85,14 +85,59 @@ def _fake_segdino3d(torch):
     pkg.build_matcher = lambda cfg: mmengine.build_from_cfg(cfg, pkg.MATCHERS)
     for builder in ("build_backbone", "build_decoder", "build_text_encoder"):
         setattr(pkg, builder, lambda cfg: None)
+
+    # identity transform that snapshots the dataset's pre-transform
+    # ``results`` dict — the executable parity surface of __getitem__
+    # (the real pipeline's preparer would reshape the target list after
+    # this point; tests read ``captured_results`` instead)
+    pkg.captured_results = []
+
+    def build_transform(cfg):
+        def recording_identity(results):
+            pkg.captured_results.append(results)
+            return results
+        return recording_identity
+
+    pkg.build_transform = build_transform
     sys.modules["segdino3d"] = pkg
     for sub in ("segdino3d.models", "segdino3d.models.module",
                 "segdino3d.models.decoder", "segdino3d.models.loss",
-                "segdino3d.models.architecture"):
+                "segdino3d.models.architecture", "segdino3d.datasets",
+                "segdino3d.datasets.dataset"):
         m = types.ModuleType(sub)
         m.__path__ = [os.path.join(REF_ROOT, *sub.split("."))]
         sys.modules[sub] = m
     return pkg
+
+
+def _stub_dataset_deps(torch):
+    """``scannet200.py`` needs PIL.Image/ImageFile (unused at runtime
+    here) and ``torch_scatter.scatter_mean`` — the standard segment-mean
+    contract, reproduced with torch.index_add."""
+    if "PIL.Image" not in sys.modules:
+        pil = sys.modules.setdefault("PIL", types.ModuleType("PIL"))
+        img = types.ModuleType("PIL.Image")
+        imf = types.ModuleType("PIL.ImageFile")
+        imf.ImageFile = object
+        pil.Image = img
+        pil.ImageFile = imf
+        sys.modules["PIL.Image"] = img
+        sys.modules["PIL.ImageFile"] = imf
+    if "torch_scatter" not in sys.modules:
+        ts = types.ModuleType("torch_scatter")
+
+        def scatter_mean(src, index, dim=0):
+            assert dim == 0
+            n = int(index.max()) + 1
+            out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+            out.index_add_(0, index, src)
+            cnt = torch.zeros(n, dtype=src.dtype).index_add_(
+                0, index, torch.ones(len(index), dtype=src.dtype))
+            cnt = cnt.clamp(min=1).view(-1, *([1] * (src.dim() - 1)))
+            return out / cnt
+
+        ts.scatter_mean = scatter_mean
+        sys.modules["torch_scatter"] = ts
 
 
 def _stub_mmdet3d():
@@ -239,7 +284,11 @@ def load_reference_modules():
         _stub_transform_deps()
         _load_file("ref_pc_transforms",
                    "segdino3d/datasets/transform/point_cloud_transforms.py")
+        _stub_dataset_deps(torch)
+        _load_file("segdino3d.datasets.dataset.scannet200",
+                   "segdino3d/datasets/dataset/scannet200.py")
     _cache = dict(
+        scannet200=sys.modules["segdino3d.datasets.dataset.scannet200"],
         pc_transforms=sys.modules["ref_pc_transforms"],
         eval_protocol=sys.modules["ref_eval_protocol"],
         loss_3d=sys.modules["segdino3d.models.loss.loss_3d"],

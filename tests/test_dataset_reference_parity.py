@@ -1,0 +1,140 @@
+"""Dataset reader parity against the *executed* reference ScanNet200 class.
+
+``write_scannet_layout`` produces the reference's .bin/.pth disk layout;
+here the reference's actual ``ScanNet200InstanceSeg3D.__getitem__``
+(``/root/reference/segdino3d/datasets/dataset/scannet200.py``) reads that
+layout through the import stubs and our reader must produce the same
+tensors: raw points, mean-fused 2D features, query2d feats/pos,
+superpoint-pooled instance+semantic GT masks, eval-time stuff merging,
+and the per-instance target decomposition.
+
+The recording transform stub snapshots the dataset's pre-transform
+``results`` dict (the real pipeline's preparer reshapes the target list
+after that point; the method's tail then fails on the raw list, which
+the test deliberately absorbs).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+torch = pytest.importorskip("torch")
+
+from reference_import import load_reference_modules
+
+REF = load_reference_modules()
+
+from segdino3d_tpu.data.scannet_dataset import ScanNet200InstanceSeg3D
+from segdino3d_tpu.data.synthetic import write_scannet_layout
+
+N_SEM = 16
+
+
+def _ref_item(root, scene_set, idx):
+    """Run the reference __getitem__; harvest the recorded results."""
+    pkg = sys.modules["segdino3d"]
+    ds = REF["scannet200"].ScanNet200InstanceSeg3D(
+        scene_set=scene_set, root_scenes=root, use_super_points=True,
+        adjust_class_ids=False, exclude_stuffs=False,
+        root_points_2dfeats=os.path.join(root, "features_2d"),
+        dropout_rate_2dfeats=0.0, transform_cfg={})
+    pkg.captured_results.clear()
+    with pytest.raises(TypeError):     # tail assumes the prepared target
+        ds[idx]
+    assert len(pkg.captured_results) == 1
+    return pkg.captured_results[0]
+
+
+def _our_record(root, scene_set, idx):
+    ds = ScanNet200InstanceSeg3D(
+        scene_set=scene_set, root_scenes=root, use_super_points=True,
+        adjust_class_ids=False, exclude_stuffs=False,
+        root_points_2dfeats=os.path.join(root, "features_2d"),
+        num_semantic_classes=N_SEM)
+    # identity transforms, matching the reference side's recording stub
+    ds.transforms = lambda points, target, rng: (points, target)
+    return ds.get_record(idx, rng=np.random.RandomState(0))
+
+
+@pytest.fixture(scope="module")
+def layout(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scannet"))
+    write_scannet_layout(root, seeds=[0, 1], n_points=2200,
+                         n_superpoints=40, n_classes=N_SEM, n_instances=6,
+                         feat_dim_2d=12)
+    return root
+
+
+@pytest.mark.parametrize("scene_set", ["train", "val"])
+def test_reader_matches_reference(layout, scene_set):
+    for idx in (0, 1):
+        ref = _ref_item(layout, scene_set, idx)
+        rec = _our_record(layout, scene_set, idx)
+
+        np.testing.assert_array_equal(ref["points"].numpy(), rec["points"])
+        ef = ref["extra_features"]
+        np.testing.assert_allclose(ef["points_2dfeats"].numpy(),
+                                   rec["points_2dfeats"], rtol=1e-6)
+        np.testing.assert_array_equal(ef["query2d_feats"].numpy(),
+                                      rec["query2d_feats"])
+        np.testing.assert_array_equal(ef["query2d_pos"].numpy(),
+                                      rec["query2d_pos"])
+        np.testing.assert_array_equal(ef["super_point_masks"].numpy(),
+                                      rec["superpoint_ids"])
+
+        # superpoint-pooled GT: reference packs (S, I + 201) with the
+        # 200-class space; ours is (I, S) + (N_SEM+1, S).  Real-class
+        # columns must match exactly; our background column equals the
+        # reference's class-N_SEM column OR its no-majority column (200).
+        sisem = ef["sp_inst_sem_masks"].numpy()
+        n_inst = rec["sp_inst_masks"].shape[0]
+        np.testing.assert_array_equal(sisem[:, :n_inst],
+                                      rec["sp_inst_masks"].T)
+        sem_ref = sisem[:, n_inst:]
+        np.testing.assert_array_equal(sem_ref[:, :N_SEM],
+                                      rec["sp_sem_masks"].T[:, :N_SEM])
+        np.testing.assert_array_equal(sem_ref[:, N_SEM] | sem_ref[:, 200],
+                                      rec["sp_sem_masks"].T[:, N_SEM])
+        assert not sem_ref[:, N_SEM + 1:200].any()
+
+        # per-instance targets: reference ids are stuff-merged for val;
+        # ours keeps the merged per-point map alongside raw ids
+        per_point = (rec["inst_merged"] if scene_set == "val"
+                     else rec["point_inst_ids"])
+        targets = list(ref["target"])
+        if scene_set == "train":
+            # Discovered reference quirk (executed behavior): the one-hot
+            # pooling block's ``torch.LongTensor(instance_masks)`` SHARES
+            # memory with the numpy array (torch>=2 from_numpy path), so
+            # its ``-1 -> max+1`` rewrite leaks into split_instance_gt
+            # and the unassigned/background points appear as one extra
+            # pseudo-instance in the train targets (scannet200.py:252,
+            # :291-326; the multi-category assert there is commented
+            # out).  Its superpoint mask is all-false downstream (the
+            # ``sp_inst_masks == instance_id`` bool-vs-int comparison
+            # never matches ids >= 2), so it can match no query.  We
+            # keep -1 = "no instance" instead; assert the quirk's exact
+            # shape, then compare the real instances.
+            bg_id = int(per_point.max()) + 1
+            bg = [t for t in targets if int(t["instance_id"]) == bg_id]
+            assert len(bg) == 1
+            np.testing.assert_array_equal(
+                bg[0]["instance_mask"].numpy().reshape(-1), per_point < 0)
+            assert not bg[0]["instance_sp_mask"].numpy().any()
+            targets = [t for t in targets if int(t["instance_id"]) != bg_id]
+        ref_ids = sorted(int(t["instance_id"]) for t in targets)
+        our_ids = sorted(int(i) for i in np.unique(per_point) if i >= 0)
+        assert ref_ids == our_ids
+        sem = rec["semantic_masks"]
+        for t in targets:
+            tid = int(t["instance_id"])
+            mask = t["instance_mask"].numpy().reshape(-1)
+            np.testing.assert_array_equal(mask, per_point == tid)
+            assert int(t["category_id"]) == int(sem[mask][0])
+            assert int(t["area"]) == int(mask.sum())
+            if scene_set == "train":
+                assert int(t["category_id"]) == int(
+                    rec["inst_labels"][tid])
