@@ -287,8 +287,11 @@ def load_reference_modules():
         _stub_dataset_deps(torch)
         _load_file("segdino3d.datasets.dataset.scannet200",
                    "segdino3d/datasets/dataset/scannet200.py")
+        _load_file("segdino3d.datasets.dataset.scannet",
+                   "segdino3d/datasets/dataset/scannet.py")
     _cache = dict(
         scannet200=sys.modules["segdino3d.datasets.dataset.scannet200"],
+        scannet=sys.modules["segdino3d.datasets.dataset.scannet"],
         pc_transforms=sys.modules["ref_pc_transforms"],
         eval_protocol=sys.modules["ref_eval_protocol"],
         loss_3d=sys.modules["segdino3d.models.loss.loss_3d"],

@@ -138,3 +138,28 @@ def test_reader_matches_reference(layout, scene_set):
             if scene_set == "train":
                 assert int(t["category_id"]) == int(
                     rec["inst_labels"][tid])
+
+
+class TestLabelMappingParity:
+    def test_scannet200_lut_matches_reference_npy(self):
+        """Our reconstructed raw-id -> 0..199 LUT must equal the actual
+        asset the reference loads (scannet200.py:63)."""
+        from segdino3d_tpu.data.scannet_constants import \
+            scannet200_seg_label_lut
+
+        ref = np.load("/root/reference/scannet200_seg_label_mapping.npy",
+                      allow_pickle=True).astype(np.int64)
+        ours = scannet200_seg_label_lut(max_raw_id=len(ref) - 1)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_scannet20_lut_matches_reference(self):
+        """Our NYU40 -> 20-class LUT vs the reference's executed
+        get_seg_label_mapping (scannet.py:73-81)."""
+        from segdino3d_tpu.data.scannet_constants import \
+            scannet20_seg_label_lut
+
+        ds = object.__new__(REF["scannet"].ScanNetInstanceSeg3D)
+        ds.bg_class_id = 20
+        ref = ds.get_seg_label_mapping()        # (42,)
+        ours = scannet20_seg_label_lut(max_raw_id=len(ref) - 1)
+        np.testing.assert_array_equal(ours, ref)
