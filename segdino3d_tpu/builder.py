@@ -75,6 +75,8 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
         stem_kernel=stem_kernel,
         mode_fuse_2d_feat=mode_fuse,
         include_centered_xyz=include_centered,
+        # spconv path quantizes (p - p.min)/voxel — see wrapper docstring
+        exact_min_shift=include_centered,
         compute_dtype=compute_dtype,
     )
 

@@ -148,10 +148,12 @@ def collate(records: List[Dict], spec: PadSpec,
     )
 
 
-def _plan_coords(batch: SceneBatch, records: List[Dict], voxel_size: float):
+def _plan_coords(batch: SceneBatch, records: List[Dict], voxel_size: float,
+                 exact_min_shift: bool = False):
     """Voxel-unit plan coordinates for a collated batch — elastic coords
-    when present, else xyz/voxel_size, min-shifted down to a multiple of
-    16 per scene (the backbone wrapper's exact coordinate policy)."""
+    when present, else xyz/voxel_size, min-shifted per scene (the backbone
+    wrapper's exact coordinate policy: exact min for the spconv path,
+    multiple-of-16 otherwise — see ``wrapper.exact_min_shift``)."""
     b, p = batch.points.shape[:2]
     coords = np.zeros((b, p, 3), np.float32)
     valid = np.asarray(batch.point_valid)
@@ -159,10 +161,19 @@ def _plan_coords(batch: SceneBatch, records: List[Dict], voxel_size: float):
         n = r["points"].shape[0]
         if r.get("elastic_coords") is not None:
             c = np.asarray(r["elastic_coords"], np.float32)
+            mins = c.min(0)
+            if not exact_min_shift:
+                mins = np.floor(mins / 16.0) * 16.0
+            coords[bi, :n] = c - mins
+        elif exact_min_shift:
+            # subtract in metric space BEFORE dividing — bit-identical to
+            # the reference's (p - p.min(0)) / voxel (spconvunet.py:286)
+            xyz = np.asarray(r["points"][:, :3], np.float32)
+            coords[bi, :n] = (xyz - xyz.min(0)) / voxel_size
         else:
             c = np.asarray(r["points"][:, :3], np.float32) / voxel_size
-        mins = np.floor(c.min(0) / 16.0) * 16.0
-        coords[bi, :n] = c - mins
+            mins = np.floor(c.min(0) / 16.0) * 16.0
+            coords[bi, :n] = c - mins
     bidx = np.repeat(np.arange(b, dtype=np.int32), p)
     return coords, valid, bidx
 
@@ -172,7 +183,8 @@ def probe_plan_caps(batch: SceneBatch, records: List[Dict], *,
                     level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
                     num_levels: int = 5,
                     block_edges: Optional[Sequence[int]] = None,
-                    headroom: float = 1.04):
+                    headroom: float = 1.04,
+                    exact_min_shift: bool = False):
     """Probe the bucketed capacities the auto path would pick for this
     batch (+``headroom`` slack) without attaching a plan.
 
@@ -183,7 +195,8 @@ def probe_plan_caps(batch: SceneBatch, records: List[Dict], *,
     from segdino3d_tpu.ops.host_plan import (block_bucket, build_host_plan,
                                              probe_voxel_count, voxel_bucket)
 
-    coords, valid, bidx = _plan_coords(batch, records, voxel_size)
+    coords, valid, bidx = _plan_coords(batch, records, voxel_size,
+                                   exact_min_shift)
     n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx, valid.reshape(-1))
     voxel_cap = voxel_bucket(int(n_vox * headroom))
     caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
@@ -208,6 +221,7 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      block_edges: Optional[Sequence[int]] = None,
                      block_caps: Optional[Sequence[int]] = None,
                      stem_gather: bool = False,
+                     exact_min_shift: bool = False,
                      dense_l0_max_voxels: Optional[int] = 160_000,
                      device: bool = True) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
@@ -233,7 +247,8 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                                              host_plan_to_device,
                                              probe_voxel_count, voxel_bucket)
 
-    coords, valid, bidx = _plan_coords(batch, records, voxel_size)
+    coords, valid, bidx = _plan_coords(batch, records, voxel_size,
+                                   exact_min_shift)
     if voxel_cap is None:
         n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
                                   valid.reshape(-1))

@@ -52,6 +52,14 @@ class SparseBackboneWrapper(nn.Module):
     stem_kernel: int = 5
     mode_fuse_2d_feat: str = "early_fusion"
     include_centered_xyz: bool = False  # SpConvUNet path adds xyz - mean(xyz)
+    # SpConvUNet path: the reference quantizes (p - p.min(0)) / voxel
+    # (spconvunet.py:286) — a NON-integer shift applied before flooring,
+    # so boundary points can land differently than floor(p/voxel) would;
+    # shift by the exact per-scene min to reproduce its voxel grid.  The
+    # Res16UNet path applies no shift (minkunet.py:624), which our
+    # multiple-of-16 integer shift matches exactly (floor(x - 16k) =
+    # floor(x) - 16k, and 16 = 2^4 preserves stride-2 anchoring).
+    exact_min_shift: bool = False
     compute_dtype: str = "float32"
     shift_to_origin: bool = True        # spconv path min-shifts by raw min
 
@@ -66,17 +74,30 @@ class SparseBackboneWrapper(nn.Module):
         pts = batch.points.reshape(n, 6)
         pvalid = batch.point_valid.reshape(n)
 
+        big = jnp.asarray(1e9, pts.dtype)
         if batch.elastic_coords is not None:
             coords_vox = batch.elastic_coords.reshape(n, 3)  # voxel units
         else:
             coords_vox = pts[:, :3] / self.voxel_size
 
-        # per-scene min shift (multiple of 16 preserves downsample parity)
-        per_scene = coords_vox.reshape(b, p, 3)
-        big = jnp.asarray(1e9, per_scene.dtype)
-        masked = jnp.where(batch.point_valid[..., None], per_scene, big)
-        mins = jnp.floor(jnp.min(masked, axis=1) / 16.0) * 16.0
-        coords_shifted = coords_vox - jnp.repeat(mins, p, axis=0)
+        # per-scene min shift for the conv grid (see ``exact_min_shift``;
+        # ``coords_vox`` stays unshifted — superpoint positions below use
+        # the reference's shift-free quantization, spconvunet.py:317-360)
+        if self.exact_min_shift and batch.elastic_coords is None:
+            # subtract in metric space BEFORE dividing — bit-identical to
+            # the reference's (p - p.min(0)) / voxel (spconvunet.py:286)
+            xyz = batch.points[..., :3]
+            masked = jnp.where(batch.point_valid[..., None], xyz, big)
+            mins = jnp.min(masked, axis=1)
+            coords_shifted = ((xyz - mins[:, None, :])
+                              / self.voxel_size).reshape(n, 3)
+        else:
+            per_scene = coords_vox.reshape(b, p, 3)
+            masked = jnp.where(batch.point_valid[..., None], per_scene, big)
+            mins = jnp.min(masked, axis=1)
+            if not self.exact_min_shift:
+                mins = jnp.floor(mins / 16.0) * 16.0
+            coords_shifted = coords_vox - jnp.repeat(mins, p, axis=0)
 
         feats = pts[:, 3:]
         if self.include_centered_xyz:

@@ -116,3 +116,36 @@ def test_dense_l0_fallback_by_scene_size():
             or b_big.unet_plan.blocks[0] is None)
     assert b_big.unet_plan.stem_nbr is not None
     assert b_big.unet_plan.subm_nbr[0] is not None
+
+
+def test_exact_min_shift_matches_spconv_reference_quantization():
+    """The spconv configs must reproduce the reference's voxel grid:
+    it quantizes (p - p.min(0)) / voxel — subtract-then-divide, a
+    NON-integer shift before flooring (spconvunet.py:286) — which
+    assigns boundary points differently from our default policy
+    (divide, then shift by a multiple of 16).  ``exact_min_shift``
+    selects the reference behavior bit-exactly."""
+    from segdino3d_tpu.data.collate import PadSpec, _plan_coords, collate
+
+    rng = np.random.RandomState(11)
+    n = 800
+    xyz = rng.uniform(-3.3, 2.7, (n, 3)).astype(np.float32)
+    rec = dict(points=np.hstack([xyz, np.zeros((n, 3), np.float32)]),
+               superpoint_ids=np.zeros(n, np.int64),
+               inst_labels=np.zeros(1, np.int64),
+               point_inst_ids=np.zeros(n, np.int64))
+    spec = PadSpec(1024, 16, 4, 4, 8)
+    batch = collate([rec], spec, device=False)
+
+    coords, valid, _ = _plan_coords(batch, [rec], 0.02,
+                                    exact_min_shift=True)
+    ref = (xyz - xyz.min(0)) / np.float32(0.02)
+    np.testing.assert_array_equal(coords[0, :n], ref)      # bit-identical
+
+    # the default (integer-shift) policy is floor-equivalent to NO shift,
+    # which genuinely differs from the reference's non-integer shift on
+    # boundary points — the flag is not cosmetic
+    coords16, _, _ = _plan_coords(batch, [rec], 0.02,
+                                  exact_min_shift=False)
+    delta = np.floor(coords16[0, :n]) - np.floor(coords[0, :n])
+    assert (delta != delta[0]).any()

@@ -156,11 +156,19 @@ def main():
         valid_class_ids=valid_ids, class_names=names,
         stuff_class_inds=list(range(n_stuff)))
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
+    bb_type = cfg.model["pointcloud_backbone_cfg"].get("type", "Res16UNet34C")
+    is_spconv = bb_type == "SpConvUNet"
     eval_plan_cfg = dict(voxel_size=voxel_size,
                          block_edges=cfg.model["pointcloud_backbone_cfg"].get(
                              "block_edges"),
                          stem_gather=cfg.model["pointcloud_backbone_cfg"].get(
-                             "stem_gather", False))
+                             "stem_gather", False),
+                         # spconv path quantizes (p - p.min)/voxel and has
+                         # a k3 stem (see wrapper.exact_min_shift)
+                         stem_kernel=3 if is_spconv else cfg.model[
+                             "pointcloud_backbone_cfg"].get(
+                             "config", {}).get("conv1_kernel_size", 5),
+                         exact_min_shift=is_spconv)
     if caps.level_cap_ratios:
         eval_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     # multi-chip eval: shard scenes over the data axis, per-device batch
@@ -214,9 +222,13 @@ def main():
     # Training defaults to block_edges_train when present: the gather
     # path's backward (scatter-adds) is ~2x the block-dense backward.
     bb_cfg = cfg.model["pointcloud_backbone_cfg"]
+    is_spconv_t = bb_cfg.get("type", "Res16UNet34C") == "SpConvUNet"
     host_plan_cfg = dict(voxel_size=voxel_size, voxel_cap=caps.num_voxels,
                          block_edges=bb_cfg.get(
-                             "block_edges_train", bb_cfg.get("block_edges")))
+                             "block_edges_train", bb_cfg.get("block_edges")),
+                         stem_kernel=3 if is_spconv_t else bb_cfg.get(
+                             "config", {}).get("conv1_kernel_size", 5),
+                         exact_min_shift=is_spconv_t)
     if caps.level_cap_ratios:
         host_plan_cfg["level_cap_ratios"] = tuple(caps.level_cap_ratios)
     train_loader = TrainLoader(
