@@ -29,6 +29,40 @@ def save_checkpoint(work_dir: str, state, keep: int = 5):
         mgr.wait_until_finished()
 
 
+class CheckpointWriter:
+    """Async periodic checkpointing for the train loop.
+
+    The reference blocks its hot loop on every ``torch.save``
+    (``engine/train_engine_3d.py:145-164``); orbax's async manager
+    serializes from the host copy in a background thread instead, so the
+    loop only pays the ``device_get``.  ``close()`` (or the context exit)
+    drains pending writes — call it before reading the checkpoints back.
+    """
+
+    def __init__(self, work_dir: str, keep: int = 5):
+        path = _ckpt_dir(work_dir)
+        os.makedirs(path, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, enable_async_checkpointing=True))
+
+    def save(self, state):
+        """Non-blocking save of a HOST-side state (pass
+        ``jax.device_get(state)``; the caller must not mutate it)."""
+        self._mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def latest_step(work_dir: str) -> Optional[int]:
     path = _ckpt_dir(work_dir)
     if not os.path.isdir(path):

@@ -17,7 +17,7 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
-from segdino3d_tpu.train.checkpoint import save_checkpoint
+from segdino3d_tpu.train.checkpoint import CheckpointWriter
 from segdino3d_tpu.utils import profiling
 from segdino3d_tpu.utils.metrics import MetricLogger
 
@@ -94,6 +94,8 @@ def train_loop(*,
     start_step = int(state.step)
     it = iter(train_loader)
     t_end = time.time()
+    writer = CheckpointWriter(work_dir) if work_dir else None
+    last_saved = -1
     with _PreemptionGuard() as guard:
         for step in range(start_step, num_iterations):
             if profile_steps and work_dir and step == profile_steps[0]:
@@ -125,8 +127,10 @@ def train_loop(*,
                 profiling.stop_trace()
                 (logger.info if logger else print)(
                     profiling.device_memory_summary())
-            if work_dir and save_step and (step + 1) % save_step == 0:
-                save_checkpoint(work_dir, jax.device_get(state))
+            if writer and save_step and (step + 1) % save_step == 0:
+                # async: serialization overlaps the next steps
+                writer.save(jax.device_get(state))
+                last_saved = int(state.step)
             if (eval_fn is not None and eval_step
                     and (step + 1) % eval_step == 0):
                 eval_fn(state)
@@ -138,6 +142,8 @@ def train_loop(*,
                     f"step {step + 1} and exiting the train loop")
                 break
 
-    if work_dir:
-        save_checkpoint(work_dir, jax.device_get(state))
+    if writer:
+        if int(state.step) != last_saved:
+            writer.save(jax.device_get(state))
+        writer.close()
     return state
