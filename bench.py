@@ -128,6 +128,26 @@ def _probe_scene_caps(args):
 
 
 def main():
+    # Bounded backend init: a wedged axon tunnel (stale device grant)
+    # otherwise hangs jax.devices() for HOURS with no output.  Probe the
+    # backend in a child first (a SIGALRM can't preempt the native init)
+    # and fail fast and loud so the harness records a diagnosable error.
+    timeout_s = int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    if timeout_s > 0:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(f"bench: TPU backend init probe failed ({type(e).__name__}"
+                  f", {timeout_s}s budget) — axon tunnel wedged / device "
+                  "grant held? Aborting instead of hanging.",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(3)
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
