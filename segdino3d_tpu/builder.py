@@ -62,7 +62,8 @@ def build_backbone_wrapper(cfg: Dict, caps: Capacities) -> SparseBackboneWrapper
         unet = SpConvUNet(
             num_planes=tuple(cfg.pop("num_planes", (32, 64, 96, 128, 160))),
             block_reps=cfg.pop("block_reps", 2),
-            in_channels=cfg.pop("in_channels", 262))
+            in_channels=cfg.pop("in_channels", 262),
+            bn_momentum=cfg.pop("bn_momentum", 0.1))
         stem_kernel = 3
         include_centered = True
     else:
