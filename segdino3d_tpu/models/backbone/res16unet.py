@@ -135,8 +135,12 @@ class BasicBlock(nn.Module):
         out = MaskedBatchNorm(momentum=self.bn_momentum, name="norm2")(
             out, ctx.valid, use_running_average=not train)
         if x.shape[-1] != self.planes:
+            # dtype=x.dtype: flax Dense otherwise promotes bf16 input x
+            # f32 kernel -> f32, and `out + residual` would poison every
+            # downstream layer back to f32 (found via per-fusion trace
+            # attribution: block2+ ran f32 under bf16 compute)
             residual = nn.Dense(self.planes, use_bias=False,
-                                name="downsample_conv")(x)
+                                dtype=x.dtype, name="downsample_conv")(x)
             residual = MaskedBatchNorm(momentum=self.bn_momentum,
                                        name="downsample_norm")(
                 residual, ctx.valid, use_running_average=not train)

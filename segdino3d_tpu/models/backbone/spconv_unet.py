@@ -45,8 +45,11 @@ class PreNormResidualBlock(nn.Module):
         h = nn.relu(h)
         h = SubMConv(self.out_channels, name="conv2")(h, ctx)
         if x.shape[-1] != self.out_channels:
+            # dtype=x.dtype: avoid flax's bf16-x-f32-kernel -> f32
+            # promotion leaking f32 into every downstream layer (same
+            # fix as res16unet BasicBlock.downsample_conv)
             ident = nn.Dense(self.out_channels, use_bias=False,
-                             name="i_branch")(x)
+                             dtype=x.dtype, name="i_branch")(x)
         else:
             ident = x
         return h + ident

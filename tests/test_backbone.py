@@ -56,3 +56,32 @@ class TestBackbone:
         out2 = bb.apply(variables, shifted, False)
         np.testing.assert_allclose(np.asarray(out1.sp_feats),
                                    np.asarray(out2.sp_feats), atol=2e-4)
+
+
+def test_bf16_compute_has_no_f32_leak():
+    """Regression: flax Dense promotion (bf16 x f32 kernel -> f32) in the
+    BasicBlock residual projection used to flip every layer from block2
+    onward back to f32 under bf16 compute — found by per-fusion trace
+    attribution on the real chip. Assert every unet intermediate matrix
+    stays bf16 (BN/stat internals excepted by the ndim>=2 matrix
+    filter)."""
+    from flax.traverse_util import flatten_dict
+
+    batch = make_batch()
+    unet = Res16UNet34C(in_channels=3 + 8, out_channels=96,
+                        config=dict(bn_momentum=0.02, conv1_kernel_size=5))
+    bb = SparseBackboneWrapper(unet=unet, voxel_size=0.08, s_cap=16,
+                               compute_dtype="bfloat16")
+    variables = bb.init(jax.random.PRNGKey(0), batch, False)
+    _, st = bb.apply(variables, batch, False,
+                     capture_intermediates=lambda mdl, name: True,
+                     mutable=["intermediates"])
+    bad = []
+    for k, v in flatten_dict(st["intermediates"]).items():
+        if "unet" not in k:
+            continue
+        for x in jax.tree.leaves(v):
+            if (hasattr(x, "dtype") and x.ndim >= 2
+                    and x.dtype == jnp.float32):
+                bad.append(("/".join(k), x.shape))
+    assert not bad, f"f32 leaked into the bf16 unet: {bad[:5]}"
