@@ -52,8 +52,6 @@ def build_optimizer(cfg_optimizer: Dict, cfg_scheduler: Dict,
     else:
         def label_fn(params):
             import jax
-            flat = jax.tree_util.tree_flatten_with_path(params)[0]
-            labels = {}
             return jax.tree_util.tree_map_with_path(
                 lambda p, _: "backbone" if _is_backbone(p) else "main", params)
         tx = optax.multi_transform(

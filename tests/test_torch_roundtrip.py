@@ -122,6 +122,60 @@ def _spconv_torch_kernel(target):
     return np.moveaxis(target.reshape(k, k, k, cin, cout), -1, 0)
 
 
+def build_res16_torch_sd(want_p, want_s, rng):
+    """Inverse-construct a torch state dict per minkunet.py module naming.
+
+    ``want_p``/``want_s`` are flat ``{path: array}`` dicts of our flax
+    Res16UNet tree; each entry is REPLACED in place with a fresh random
+    target value, and the returned torch state dict encodes those targets
+    under the reference's ``backbone.*`` keys (kernel layouts inverted so
+    the importer recovers the targets exactly).
+    """
+    sd = {}
+    for path, arr in want_p.items():
+        parts = path.split("/")
+        name = parts[0]
+        target = rng.randn(*arr.shape).astype(np.float32)
+        want_p[path] = target
+        if name.startswith("conv"):          # stem / down / up convs
+            sd[f"backbone.{name}.kernel"] = _me_torch_kernel(target)
+        elif name.startswith("bn"):          # bn0..4, bntr4..7
+            leaf = "weight" if parts[1] == "scale" else "bias"
+            sd[f"backbone.{name}.bn.{leaf}"] = target
+        else:                                 # blockN_R
+            n, r = name[5], name[7]
+            sub, leaf = parts[1], parts[2]
+            if sub in ("conv1", "conv2"):
+                sd[f"backbone.block{n}.{r}.{sub}.kernel"] = \
+                    _me_torch_kernel(target)
+            elif sub == "downsample_conv":
+                sd[f"backbone.block{n}.{r}.downsample.0.kernel"] = \
+                    target[None]
+            elif sub == "downsample_norm":
+                t = "weight" if leaf == "scale" else "bias"
+                sd[f"backbone.block{n}.{r}.downsample.1.bn.{t}"] = target
+            else:                             # norm1 / norm2
+                t = "weight" if leaf == "scale" else "bias"
+                sd[f"backbone.block{n}.{r}.{sub}.bn.{t}"] = target
+    for path, arr in want_s.items():
+        parts = path.split("/")
+        name, leaf = parts[0], parts[-1]
+        t = "running_mean" if leaf == "mean" else "running_var"
+        target = rng.randn(*arr.shape).astype(np.float32)
+        want_s[path] = target
+        if name.startswith("bn"):
+            sd[f"backbone.{name}.bn.{t}"] = target
+        else:
+            n, r = name[5], name[7]
+            sub = parts[1]
+            if sub == "downsample_norm":
+                sd[f"backbone.block{n}.{r}.downsample.1.bn.{t}"] = target
+            else:
+                sd[f"backbone.block{n}.{r}.{sub}.bn.{t}"] = target
+    sd["backbone.bn0.bn.num_batches_tracked"] = np.asarray(3)
+    return sd
+
+
 class TestRes16UNetRoundtrip:
     @pytest.mark.slow
     def test_full_tree_roundtrip(self):
@@ -140,50 +194,7 @@ class TestRes16UNetRoundtrip:
 
         want_p = _flatten(variables["params"])
         want_s = _flatten(variables["batch_stats"])
-
-        # inverse-construct the torch state dict per minkunet.py naming
-        sd = {}
-        for path, arr in want_p.items():
-            parts = path.split("/")
-            name = parts[0]
-            target = rng.randn(*arr.shape).astype(np.float32)
-            want_p[path] = target
-            if name.startswith("conv"):          # stem / down / up convs
-                sd[f"backbone.{name}.kernel"] = _me_torch_kernel(target)
-            elif name.startswith("bn"):          # bn0..4, bntr4..7
-                leaf = "weight" if parts[1] == "scale" else "bias"
-                sd[f"backbone.{name}.bn.{leaf}"] = target
-            else:                                 # blockN_R
-                n, r = name[5], name[7]
-                sub, leaf = parts[1], parts[2]
-                if sub in ("conv1", "conv2"):
-                    sd[f"backbone.block{n}.{r}.{sub}.kernel"] = \
-                        _me_torch_kernel(target)
-                elif sub == "downsample_conv":
-                    sd[f"backbone.block{n}.{r}.downsample.0.kernel"] = \
-                        target[None]
-                elif sub == "downsample_norm":
-                    t = "weight" if leaf == "scale" else "bias"
-                    sd[f"backbone.block{n}.{r}.downsample.1.bn.{t}"] = target
-                else:                             # norm1 / norm2
-                    t = "weight" if leaf == "scale" else "bias"
-                    sd[f"backbone.block{n}.{r}.{sub}.bn.{t}"] = target
-        for path, arr in want_s.items():
-            parts = path.split("/")
-            name, leaf = parts[0], parts[-1]
-            t = "running_mean" if leaf == "mean" else "running_var"
-            target = rng.randn(*arr.shape).astype(np.float32)
-            want_s[path] = target
-            if name.startswith("bn"):
-                sd[f"backbone.{name}.bn.{t}"] = target
-            else:
-                n, r = name[5], name[7]
-                sub = parts[1]
-                if sub == "downsample_norm":
-                    sd[f"backbone.block{n}.{r}.downsample.1.bn.{t}"] = target
-                else:
-                    sd[f"backbone.block{n}.{r}.{sub}.bn.{t}"] = target
-        sd["backbone.bn0.bn.num_batches_tracked"] = np.asarray(3)
+        sd = build_res16_torch_sd(want_p, want_s, rng)
 
         params, stats, unmapped = import_state_dict(sd)
         assert unmapped == [], unmapped[:10]

@@ -127,11 +127,22 @@ def main():
     logger.info(f"model parameters: {n_params / 1e6:.2f}M")
 
     if args.load_pretrained_ckpt:
-        from segdino3d_tpu.train.torch_import import load_torch_checkpoint
-        pre = load_torch_checkpoint(args.load_pretrained_ckpt, model,
-                                    kernel_order=args.kernel_order)
+        from segdino3d_tpu.train.torch_import import import_checkpoint
+        pre_params, pre_stats, unmapped = import_checkpoint(
+            args.load_pretrained_ckpt, kernel_order=args.kernel_order)
+        if unmapped:
+            logger.info(f"[torch_import] {len(unmapped)} unmapped keys, "
+                        f"e.g. {unmapped[:5]}")
+        # merge BOTH collections: the reference's load_model restores BN
+        # running stats through the state_dict (utils/ckpt_utils.py:85-113);
+        # dropping batch_stats would run eval BatchNorm on fresh (0, 1)
+        # statistics and collapse mAP for a converted checkpoint.
         variables = dict(variables)
-        variables["params"] = merge_pretrained(variables["params"], pre)
+        variables["params"] = merge_pretrained(variables["params"],
+                                               pre_params)
+        if pre_stats and "batch_stats" in variables:
+            variables["batch_stats"] = merge_pretrained(
+                variables["batch_stats"], pre_stats)
 
     tx, sched = build_optimizer(cfg.optimizer, cfg.scheduler,
                                 cfg.get("clip_max_norm"))
