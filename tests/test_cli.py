@@ -126,6 +126,31 @@ def test_cli_train_then_eval(tmp_path, monkeypatch):
     train_3d.main()  # must not raise
 
 
+def test_cli_train_accum_steps(tmp_path, monkeypatch):
+    """--accum_steps 2: batch 2 runs as 2 scanned microbatches of 1 scene
+    (the reference's bs=4 single-GPU recipe on memory-bound chips)."""
+    from segdino3d_tpu.data.synthetic import write_scannet_layout
+
+    data_root = str(tmp_path / "data")
+    write_scannet_layout(data_root, seeds=[0, 1], n_points=2500,
+                         n_superpoints=48, n_classes=16, n_instances=5,
+                         feat_dim_2d=16)
+    cfg_path = str(tmp_path / "cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TMPL.replace("{root}", data_root)
+                .replace("num_iterations = 4", "num_iterations = 2")
+                .replace("save_step = 4", "save_step = 2"))
+    work = str(tmp_path / "work")
+
+    import train_3d
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_3d.py", "--config_file", cfg_path, "--work_dir", work,
+        "--seed", "1", "--accum_steps", "2"])
+    train_3d.main()
+    assert os.path.isdir(os.path.join(work, "checkpoints"))
+
+
 def test_cli_pretrained_ckpt_restores_batch_stats(tmp_path, monkeypatch):
     """--load_pretrained_ckpt must apply BOTH converted params and BN
     running stats to the evaluated model (the reference's load_model

@@ -39,6 +39,12 @@ def get_args():
     p.add_argument("--profile_steps", default=None,
                    help="START:STOP — capture a jax.profiler trace of these "
                         "train steps into work_dir/profile")
+    p.add_argument("--accum_steps", type=int, default=None,
+                   help="gradient-accumulation microbatches per step "
+                        "(default: cfg accum_steps or 1) — runs the "
+                        "reference's bs=4 single-GPU recipe on one 16G "
+                        "chip; train_batch_size must be divisible by "
+                        "n_devices * accum_steps")
     p.add_argument("--options", nargs="*", default=None,
                    help="key=value config overrides (nested keys with dots)")
     return p.parse_args()
@@ -225,8 +231,17 @@ def main():
     dataset = ConcatDataset(train_sets)
     bsz = cfg.data.get("train_batch_size", 4)
     n_dev = len(jax.devices())
-    mesh = make_mesh(min(n_dev, bsz)) if n_dev > 1 and bsz > 1 else None
+    accum = args.accum_steps or cfg.get("accum_steps", 1)
+    if bsz % accum != 0:
+        raise SystemExit(f"train_batch_size={bsz} not divisible by "
+                         f"accum_steps={accum}")
+    n_par = bsz // accum   # scenes stepped in parallel across devices
+    mesh = make_mesh(min(n_dev, n_par)) if n_dev > 1 and n_par > 1 else None
     n_shards = mesh.devices.size if mesh is not None else 1
+    if n_par % n_shards != 0:
+        raise SystemExit(
+            f"train_batch_size/accum_steps={n_par} not divisible by "
+            f"{n_shards} devices")
     voxel_size = cfg.model["pointcloud_backbone_cfg"].get("voxel_size", 0.02)
     # block-dense conv layout: opt-in via config (the TPU prototypes set
     # it; CPU runs prefer the gather path — XLA CPU 3D convs are slow).
@@ -250,13 +265,14 @@ def main():
         shm_transport=cfg.data.get("shm_transport", True),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
-        mesh_shards=n_shards,
+        mesh_shards=n_shards * accum,
         host_plan_cfg=host_plan_cfg)
 
     base_step = make_train_step(
         model, criterion, tx,
         ema_decay=cfg.get("ema_decay") if cfg.get("use_ema") else None,
-        mesh=mesh, stacked_batch=mesh is not None)
+        mesh=mesh, stacked_batch=mesh is not None or accum > 1,
+        accum_steps=accum)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P("data"))
