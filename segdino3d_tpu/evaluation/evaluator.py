@@ -125,7 +125,9 @@ class InstanceSeg3DEvaluator:
                            pred["pts_instance_masks"][i].astype(np.int32),
                            fmt="%d")
             with open(os.path.join(prefix, f"{sid}.txt"), "w") as f:
-                f.write("\n".join(lines))
+                # one line per instance incl. trailing newline — byte-level
+                # parity with the reference writer (evaluator_3d.py:383)
+                f.write("".join(line + "\n" for line in lines))
 
     def format_results_semantic(self):
         prefix = self.submission_prefix_semantic
