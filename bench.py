@@ -101,15 +101,15 @@ class _SynthDataset:
 
 
 def _probe_scene_caps(args):
-    """Per-scene voxel/block counts on CHEAP records (coords are invariant
-    to feat_dim_2d; generating 8-dim features is ~4x faster than 256).
-    Module-level for spawn-worker picklability."""
+    """Per-scene voxel/block/stem-overflow counts on CHEAP records (coords
+    are invariant to feat_dim_2d; generating 8-dim features is ~4x faster
+    than 256).  Module-level for spawn-worker picklability."""
     seed, n_points, s_cap, ratios, block_edges = args
     import numpy as np
 
     from segdino3d_tpu.data.synthetic import synthetic_scene
-    from segdino3d_tpu.ops.host_plan import (build_host_plan,
-                                             probe_voxel_count, voxel_bucket)
+    from segdino3d_tpu.ops.host_plan import (probe_plan_counts,
+                                             stem_slots_default)
 
     r = synthetic_scene(seed, n_points=n_points, n_instances=24,
                         n_superpoints=s_cap, n_classes=180, feat_dim_2d=8)
@@ -117,14 +117,13 @@ def _probe_scene_caps(args):
     c -= np.floor(c.min(0) / 16.0) * 16.0
     bidx = np.zeros(c.shape[0], np.int32)
     valid = np.ones(c.shape[0], bool)
-    nv = probe_voxel_count(c, bidx, valid)
+    voxels, blocks, stem_ov = probe_plan_counts(
+        c, bidx, valid, block_edges or [], stem_kernel=5,
+        stem_slots=stem_slots_default())
+    nv = int(voxels[0])
     if block_edges is None or not any(block_edges):
-        return nv, None
-    caps = [max(256, -(-int(voxel_bucket(nv) * x) // 256) * 256)
-            for x in ratios]
-    caps[0] = voxel_bucket(nv)
-    plan = build_host_plan(c, bidx, valid, caps, block_edges=block_edges)
-    return nv, [lv.num_blocks for lv in plan.levels]
+        return nv, None, stem_ov
+    return nv, [int(b) for b in blocks], stem_ov
 
 
 def main():
@@ -231,11 +230,14 @@ def main():
     # size per-batch caps as batch_size x the per-scene max (scenes never
     # share voxels/blocks across the batch dim).
     block_caps = None
+    stem_ov_cap = None
     if voxel_cap is None:
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
-        from segdino3d_tpu.ops.host_plan import block_bucket, voxel_bucket
+        from segdino3d_tpu.ops.host_plan import (block_bucket,
+                                                 overflow_bucket,
+                                                 voxel_bucket)
         seeds = (list(range(len(ds))) +
                  list(range(100, 100 + 3 * batch_size)))
         # spawn: never fork a process holding the TPU client
@@ -246,6 +248,8 @@ def main():
                                    block_edges) for s in seeds]))
         voxel_cap = voxel_bucket(
             int(batch_size * max(p[0] for p in probes) * 1.02))
+        stem_ov_cap = overflow_bucket(
+            max(4096, int(batch_size * max(p[2] for p in probes) * 1.05)))
         if probes[0][1] is not None:
             block_caps = [
                 0 if not e else block_bucket(
@@ -262,6 +266,7 @@ def main():
                                 level_cap_ratios=ratios,
                                 block_edges=block_edges,
                                 block_caps=block_caps,
+                                stem_ov_cap=stem_ov_cap,
                                 stem_gather=stem_gather)
 
     def infer(variables, batch):
@@ -332,6 +337,7 @@ def main():
                                  level_cap_ratios=ratios,
                                  block_edges=block_edges,
                                  block_caps=block_caps,
+                                 stem_ov_cap=stem_ov_cap,
                                  stem_gather=stem_gather, device=False)
             ts_plan.append(time.time() - t0)
             t0 = time.time()
@@ -364,6 +370,7 @@ def main():
                                level_cap_ratios=ratios,
                                block_edges=block_edges,
                                block_caps=block_caps,
+                               stem_ov_cap=stem_ov_cap,
                                stem_gather=stem_gather))
         it = iter(loader)
         r = fn(variables, next(it))           # spawn + warm

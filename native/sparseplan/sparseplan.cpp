@@ -201,6 +201,200 @@ int64_t block_assign(const int32_t* vox_coords, int64_t v_cap, int64_t v_valid,
   return count;
 }
 
+// Count-only plan probe: unique voxels + block counts per pyramid level,
+// WITHOUT building any tables.  One dedup pass + per-level block/downsample
+// counting — ~10x cheaper than build_host_plan; used by the eval loader's
+// capacity prescan (pin ONE static cap vector per shape rung so the whole
+// val set compiles to a handful of programs).
+// coords: (n, 4) int32; edges: per-level block edge (0 = skip block count).
+// out_voxels/out_blocks: (num_levels) int64.
+// stem_offsets/stem_n_off/stem_d (optional; stem_n_off = 0 skips): count
+// the level-0 stem pairs beyond stem_d per voxel into *out_stem_overflow —
+// lets the eval prescan pin a deterministic overflow capacity per rung.
+void probe_plan_counts(const int32_t* coords, const uint8_t* valid, int64_t n,
+                       const int32_t* edges, int32_t num_levels,
+                       int64_t* out_voxels, int64_t* out_blocks,
+                       const int32_t* stem_offsets, int32_t stem_n_off,
+                       int32_t stem_d, int64_t* out_stem_overflow) {
+  std::vector<int32_t> cur;
+  cur.reserve(static_cast<size_t>(n) * 4);
+  {
+    HashMap map(static_cast<size_t>(n + 16));
+    for (int64_t i = 0; i < n; ++i) {
+      if (valid && !valid[i]) continue;
+      const int32_t* c = coords + 4 * i;
+      if (map.insert(pack(c[0], c[1], c[2], c[3]),
+                     static_cast<int32_t>(1)) < 0) {
+        cur.insert(cur.end(), c, c + 4);
+      }
+    }
+  }
+  if (stem_n_off > 0 && out_stem_overflow) {
+    const int64_t v = static_cast<int64_t>(cur.size() / 4);
+    HashMap map(static_cast<size_t>(v + 16));
+    for (int64_t i = 0; i < v; ++i) {
+      const int32_t* c = cur.data() + 4 * i;
+      map.insert(pack(c[0], c[1], c[2], c[3]), static_cast<int32_t>(i));
+    }
+    int64_t ov = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : ov)
+#endif
+    for (int64_t i = 0; i < v; ++i) {
+      const int32_t* c = cur.data() + 4 * i;
+      int32_t deg = 0;
+      for (int32_t o = 0; o < stem_n_off; ++o) {
+        const int32_t x = c[1] + stem_offsets[3 * o],
+                      y = c[2] + stem_offsets[3 * o + 1],
+                      z = c[3] + stem_offsets[3 * o + 2];
+        if (x >= 0 && y >= 0 && z >= 0 &&
+            map.find(pack(c[0], x, y, z)) >= 0)
+          ++deg;
+      }
+      if (deg > stem_d) ov += deg - stem_d;
+    }
+    *out_stem_overflow = ov;
+  } else if (out_stem_overflow) {
+    *out_stem_overflow = 0;
+  }
+  for (int32_t li = 0; li < num_levels; ++li) {
+    const int64_t v = static_cast<int64_t>(cur.size() / 4);
+    out_voxels[li] = v;
+    out_blocks[li] = 0;
+    const int32_t edge = edges[li];
+    if (edge > 0) {
+      int32_t shift = 0;
+      while ((1 << shift) < edge) ++shift;
+      HashMap bmap(static_cast<size_t>(v + 16));
+      int64_t nb = 0;
+      for (int64_t i = 0; i < v; ++i) {
+        const int32_t* c = cur.data() + 4 * i;
+        if (bmap.insert(pack(c[0], c[1] >> shift, c[2] >> shift,
+                             c[3] >> shift),
+                        static_cast<int32_t>(1)) < 0)
+          ++nb;
+      }
+      out_blocks[li] = nb;
+    }
+    if (li + 1 < num_levels) {
+      HashMap dmap(static_cast<size_t>(v + 16));
+      std::vector<int32_t> next;
+      next.reserve(cur.size() / 2);
+      for (int64_t i = 0; i < v; ++i) {
+        const int32_t* c = cur.data() + 4 * i;
+        const int32_t cx = c[1] >> 1, cy = c[2] >> 1, cz = c[3] >> 1;
+        if (dmap.insert(pack(c[0], cx, cy, cz),
+                        static_cast<int32_t>(1)) < 0) {
+          next.push_back(c[0]);
+          next.push_back(cx);
+          next.push_back(cy);
+          next.push_back(cz);
+        }
+      }
+      cur.swap(next);
+    }
+  }
+}
+
+// Degree-compacted stem table: the k^3 neighbor table rewritten as
+// per-voxel slot lists.  On 2-manifold scenes only ~22% of a 5^3 stem's
+// 125 offsets hit an occupied voxel (measured ScanNet-like avg degree 28),
+// and XLA TPU row-gathers cost ~2 ns/row regardless of row width — so the
+// device-side stem becomes ONE (V, Cin) @ (Cin, k^3*Cout) matmul plus D
+// gathers over flat rows  y[j * n_off + o]  instead of k^3 gathers
+// (ops/sparse_conv.stem_compact_conv).
+//
+// Outputs:
+//   out_slots: (d_cap, v_cap) int32 flat indices nbr*n_off+o, -1 empty
+//   out_ov_src/out_ov_dst: overflow pairs beyond d_cap per voxel (flat
+//       idx, voxel idx), voxel-major deterministic order, written up to
+//       p_cap; padding beyond the written count is left untouched
+//       (caller pre-fills with -1 / dump-row values).
+// Returns the total overflow-pair count (may exceed p_cap — caller must
+// check and rebuild with a bigger cap).
+int64_t stem_compact(const int32_t* vox_coords, int64_t v_cap,
+                     int64_t v_valid, const int32_t* offsets, int32_t n_off,
+                     int32_t d_cap, int32_t* out_slots, int32_t* out_ov_src,
+                     int32_t* out_ov_dst, int64_t p_cap) {
+  HashMap map(static_cast<size_t>(v_valid + 16));
+  for (int64_t i = 0; i < v_valid; ++i) {
+    const int32_t* c = vox_coords + 4 * i;
+    map.insert(pack(c[0], c[1], c[2], c[3]), static_cast<int32_t>(i));
+  }
+  for (int32_t d = 0; d < d_cap; ++d)
+    std::memset(out_slots + static_cast<int64_t>(d) * v_cap + v_valid, -1,
+                static_cast<size_t>(v_cap - v_valid) * 4);
+
+  // Parallel over voxels: each voxel owns one column of out_slots.
+  // Overflow pairs collect thread-locally as (dst, off, flat) and merge
+  // sorted by (dst, off) so the layout is deterministic and identical to
+  // a sequential voxel-major walk regardless of thread count.
+  struct Ov {
+    int32_t dst, off, flat;
+  };
+  std::vector<Ov> overflow;
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    std::vector<Ov> loc;
+#pragma omp for schedule(static) nowait
+    for (int64_t i = 0; i < v_valid; ++i) {
+      const int32_t* c = vox_coords + 4 * i;
+      int32_t fill = 0;
+      for (int32_t o = 0; o < n_off; ++o) {
+        const int32_t x = c[1] + offsets[3 * o], y = c[2] + offsets[3 * o + 1],
+                      z = c[3] + offsets[3 * o + 2];
+        const int32_t nb =
+            (x < 0 || y < 0 || z < 0) ? -1 : map.find(pack(c[0], x, y, z));
+        if (nb < 0) continue;
+        const int32_t flat = nb * n_off + o;
+        if (fill < d_cap) {
+          out_slots[static_cast<int64_t>(fill) * v_cap + i] = flat;
+          ++fill;
+        } else {
+          loc.push_back({static_cast<int32_t>(i), o, flat});
+        }
+      }
+      for (; fill < d_cap; ++fill)
+        out_slots[static_cast<int64_t>(fill) * v_cap + i] = -1;
+    }
+#pragma omp critical
+    overflow.insert(overflow.end(), loc.begin(), loc.end());
+  }
+  std::sort(overflow.begin(), overflow.end(), [](const Ov& a, const Ov& b) {
+    return a.dst != b.dst ? a.dst < b.dst : a.off < b.off;
+  });
+#else
+  for (int64_t i = 0; i < v_valid; ++i) {
+    const int32_t* c = vox_coords + 4 * i;
+    int32_t fill = 0;
+    for (int32_t o = 0; o < n_off; ++o) {
+      const int32_t x = c[1] + offsets[3 * o], y = c[2] + offsets[3 * o + 1],
+                    z = c[3] + offsets[3 * o + 2];
+      const int32_t nb =
+          (x < 0 || y < 0 || z < 0) ? -1 : map.find(pack(c[0], x, y, z));
+      if (nb < 0) continue;
+      const int32_t flat = nb * n_off + o;
+      if (fill < d_cap) {
+        out_slots[static_cast<int64_t>(fill) * v_cap + i] = flat;
+        ++fill;
+      } else {
+        overflow.push_back({static_cast<int32_t>(i), o, flat});
+      }
+    }
+    for (; fill < d_cap; ++fill)
+      out_slots[static_cast<int64_t>(fill) * v_cap + i] = -1;
+  }
+#endif
+  const int64_t n_ov = static_cast<int64_t>(overflow.size());
+  const int64_t n_write = std::min<int64_t>(n_ov, p_cap);
+  for (int64_t t = 0; t < n_write; ++t) {
+    out_ov_src[t] = overflow[static_cast<size_t>(t)].flat;
+    out_ov_dst[t] = overflow[static_cast<size_t>(t)].dst;
+  }
+  return n_ov;
+}
+
 // 2x downsample: unique(floor(xyz/2)) in first-occurrence order.
 // Writes parent index + kernel position per fine voxel and the coarse
 // coordinates. Returns the coarse voxel count (check against coarse_cap).

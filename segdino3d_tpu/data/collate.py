@@ -221,8 +221,11 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      block_edges: Optional[Sequence[int]] = None,
                      block_caps: Optional[Sequence[int]] = None,
                      stem_gather: bool = False,
+                     stem_compact: 'Optional[bool]' = None,
+                     stem_compact_slots: 'Optional[int]' = None,
+                     stem_ov_cap: 'Optional[int]' = None,
                      exact_min_shift: bool = False,
-                     dense_l0_max_voxels: Optional[int] = 160_000,
+                     auto_l0_layout: bool = True,
                      device: bool = True) -> SceneBatch:
     """Build the sparse-conv plan on the host (C++) and attach it.
 
@@ -236,15 +239,16 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
     to the block-dense conv layout (``ops.block_dense``); block counts are
     bucketed geometrically unless ``block_caps`` pins them.
 
-    ``dense_l0_max_voxels``: above this per-scene voxel count, level 0
-    falls back to the gather-GEMM layout regardless of ``block_edges[0]``
-    (measured v5e crossover: the hybrid dense-L0 step loses to L0-gather
-    on 400k-pt/2cm multi-room scenes — 462 vs 305 ms — while winning on
-    typical ~120k-pt scenes; surface fill per block drops with scene
-    scale).  ``None`` disables the fallback.
+    ``auto_l0_layout``: plan-time layout crossover — level 0 falls back to
+    the gather-GEMM layout whenever its measured block count would push
+    the widest level-0 dense conv onto the chunked (``lax.map``) path
+    (``host_plan.l0_dense_fits``; replaces round-3's hand-picked
+    ``dense_l0_max_voxels=160k`` knob with the mechanism that actually
+    caused the measured 400k-pt crossover).
     """
     from segdino3d_tpu.ops.host_plan import (build_host_plan,
                                              host_plan_to_device,
+                                             l0_dense_budget_bytes,
                                              probe_voxel_count, voxel_bucket)
 
     coords, valid, bidx = _plan_coords(batch, records, voxel_size,
@@ -253,10 +257,6 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
         n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
                                   valid.reshape(-1))
         voxel_cap = voxel_bucket(n_vox)
-    if (dense_l0_max_voxels is not None and block_edges
-            and block_edges[0]
-            and voxel_cap > dense_l0_max_voxels * max(1, len(records))):
-        block_edges = [0] + list(block_edges[1:])
     caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
             for r in level_cap_ratios[:num_levels]]
     caps[0] = voxel_cap
@@ -264,7 +264,12 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                            caps, num_levels=num_levels,
                            stem_kernel=stem_kernel,
                            block_edges=block_edges, block_caps=block_caps,
-                           stem_gather=stem_gather)
+                           stem_gather=stem_gather,
+                           stem_compact=stem_compact,
+                           stem_compact_slots=stem_compact_slots,
+                           stem_ov_cap=stem_ov_cap,
+                           l0_budget_bytes=(l0_dense_budget_bytes()
+                                            if auto_l0_layout else None))
     if plan.overflow:
         raise ValueError("host plan capacity overflow — raise voxel caps")
     uplan, inverse = host_plan_to_device(plan, device=device)

@@ -369,7 +369,8 @@ class EvalLoader:
     def __init__(self, dataset, pad_spec: Optional[PadSpec] = None,
                  limit: Optional[int] = None, batch_size: int = 1,
                  bucket_policy=None, host_plan_cfg: Optional[Dict] = None,
-                 mesh_shards: int = 1, prefetch: int = 1):
+                 mesh_shards: int = 1, prefetch: int = 1,
+                 prescan_caps: bool = True):
         """``mesh_shards`` > 1 emits per-device *stacked* batches (leading
         axis = shards) for the mesh-sharded predict
         (``evaluation.evaluate(mesh=...)``); a partial tail batch is padded
@@ -380,7 +381,17 @@ class EvalLoader:
         background thread, overlapping host record-IO/collate/C++-plan
         work with the consumer's device step (the driver otherwise pays
         the full host build between every predict); 0 restores fully
-        synchronous iteration."""
+        synchronous iteration.
+
+        ``prescan_caps``: one cheap count-only pass over the eval set
+        before the first batch (cached for the loader's lifetime) pins
+        ONE plan-capacity vector (voxel cap, per-level block caps, L0
+        layout) per PadSpec rung — the whole val set then compiles to
+        #occupied-rungs programs instead of one per distinct per-batch
+        auto-bucketing outcome (measured: 48 val-sized scenes collapsed
+        from 38 signatures to the rung count).  Active only with a
+        ``bucket_policy`` and a ``host_plan_cfg`` that leaves ``voxel_cap``
+        unset."""
         assert pad_spec is not None or bucket_policy is not None
         self.dataset = dataset
         self.pad_spec = pad_spec
@@ -390,6 +401,8 @@ class EvalLoader:
         self.host_plan_cfg = host_plan_cfg
         self.mesh_shards = mesh_shards
         self.prefetch = prefetch
+        self.prescan_caps = prescan_caps
+        self._rung_caps: Optional[Dict] = None
         if mesh_shards > 1:
             assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
 
@@ -403,6 +416,82 @@ class EvalLoader:
         n = len(self.dataset)
         return min(n, self.limit) if self.limit else n
 
+    def _prescan(self):
+        """Pin one plan-capacity vector per PadSpec rung (see __init__)."""
+        if self._rung_caps is not None:
+            return self._rung_caps
+        cfg = self.host_plan_cfg or {}
+        if (not self.prescan_caps or self.bucket_policy is None
+                or not cfg or cfg.get("voxel_cap")
+                or cfg.get("block_caps")):
+            self._rung_caps = {}
+            return self._rung_caps
+        from segdino3d_tpu.data.collate import _plan_coords
+        from segdino3d_tpu.ops.host_plan import (l0_dense_budget_bytes,
+                                                 l0_dense_fits,
+                                                 overflow_bucket,
+                                                 probe_plan_counts,
+                                                 stem_slots_default)
+
+        edges = list(cfg.get("block_edges") or [])
+        num_levels = cfg.get("num_levels", 5)
+        stem_kernel = cfg.get("stem_kernel", 5)
+        # the compacted stem runs whenever the stem is gather-GEMM —
+        # including after a rung-level L0 layout flip — so probe its
+        # overflow for every non-k3 stem (p_cap pins per rung)
+        probe_stem = (stem_kernel != 3
+                      and cfg.get("stem_compact") is not False)
+        stem_d = stem_slots_default(cfg.get("stem_compact_slots"))
+        per_rung: Dict = {}
+        rng = np.random.RandomState(0)
+        n = self.num_scenes
+        per = (self.batch_size // self.mesh_shards
+               if self.mesh_shards > 1 else self.batch_size)
+        for lo in range(0, n, self.batch_size):
+            recs = [self.dataset.get_record(i, rng)
+                    for i in range(lo, min(lo + self.batch_size, n))]
+            if self.mesh_shards > 1 and len(recs) < self.batch_size:
+                recs = recs + [recs[-1]] * (self.batch_size - len(recs))
+            spec = self.bucket_policy.spec_for(recs)
+            for s0 in range(0, len(recs), per):
+                sub = recs[s0:s0 + per]
+                batch = collate(sub, spec, device=False)
+                coords, valid, bidx = _plan_coords(
+                    batch, sub, cfg.get("voxel_size", 0.02),
+                    cfg.get("exact_min_shift", False))
+                voxels, blocks, stem_ov = probe_plan_counts(
+                    coords.reshape(-1, 3), bidx, valid.reshape(-1),
+                    edges, num_levels,
+                    stem_kernel=stem_kernel if probe_stem else 0,
+                    stem_slots=stem_d)
+                acc = per_rung.setdefault(
+                    spec, [np.zeros(num_levels, np.int64),
+                           np.zeros(num_levels, np.int64), 0])
+                np.maximum(acc[0], voxels, out=acc[0])
+                np.maximum(acc[1], blocks, out=acc[1])
+                acc[2] = max(acc[2], stem_ov)
+        out: Dict = {}
+        for spec, (voxels, blocks, stem_ov) in per_rung.items():
+            voxel_cap = -(-int(voxels[0]) // 256) * 256
+            block_caps = [0 if (i >= len(edges) or not edges[i])
+                          else -(-int(b) // 16) * 16
+                          for i, b in enumerate(blocks)]
+            rung_edges = list(edges) if edges else None
+            if (rung_edges and rung_edges[0] and not l0_dense_fits(
+                    block_caps[0], rung_edges[0],
+                    budget=l0_dense_budget_bytes())):
+                # whole rung runs level 0 as gather — decided here so
+                # every scene in the rung compiles the same program
+                rung_edges[0] = 0
+                block_caps[0] = 0
+            out[spec] = dict(voxel_cap=voxel_cap, block_caps=block_caps,
+                             block_edges=rung_edges)
+            if probe_stem:
+                out[spec]["stem_ov_cap"] = overflow_bucket(
+                    max(4096, int(stem_ov)))
+        self._rung_caps = out
+        return out
+
     def _build_one(self, recs, spec):
         # numpy leaves when sharding: stack_batches restacks host-side and
         # evaluate() device_puts straight to the sharded layout — a jnp
@@ -411,8 +500,9 @@ class EvalLoader:
         batch = collate(recs, spec, device=dev)
         if self.host_plan_cfg:
             from segdino3d_tpu.data.collate import attach_host_plan
-            batch = attach_host_plan(batch, recs, spec, device=dev,
-                                     **self.host_plan_cfg)
+            cfg = dict(self.host_plan_cfg)
+            cfg.update(self._prescan().get(spec, {}))
+            batch = attach_host_plan(batch, recs, spec, device=dev, **cfg)
         return batch
 
     def __iter__(self):

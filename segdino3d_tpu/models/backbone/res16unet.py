@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from segdino3d_tpu.ops import sparse_conv as SC
-from segdino3d_tpu.ops.conv_ctx import DenseCtx, GatherCtx
+from segdino3d_tpu.ops.conv_ctx import CompactStemCtx, DenseCtx, GatherCtx
 from segdino3d_tpu.ops.voxelize import VoxelGrid
 from segdino3d_tpu.models.layers import MaskedBatchNorm
 from segdino3d_tpu.registry import BACKBONES
@@ -39,6 +39,9 @@ class UNetPlan(NamedTuple):
     subm_nbr: Tuple[Optional[jnp.ndarray], ...]  # per level: (27, V_l) or None
     stem_nbr: Optional[jnp.ndarray]     # level 0: (k^3, V_0) for the stem conv
     blocks: Optional[tuple] = None      # per level: block_dense.BlockTables
+    # degree-compacted stem tables (slots (D, V0), ov_src (P,), ov_dst
+    # (P,)); when present the stem runs SC.stem_compact_conv
+    stem_compact: Optional[tuple] = None
 
 
 def build_unet_plan(grid: VoxelGrid, num_levels: int = 5,
@@ -74,7 +77,11 @@ def make_level_ctxs(plan: UNetPlan):
             ctxs.append(DenseCtx(t, l.valid))
         else:
             ctxs.append(GatherCtx(plan.subm_nbr[li], l.valid))
-    if blocks[0] is not None and plan.stem_nbr is None:
+    if plan.stem_compact is not None:
+        slots, ov_src, ov_dst = plan.stem_compact
+        stem_ctx = CompactStemCtx(slots, ov_src, ov_dst,
+                                  plan.levels[0].valid)
+    elif blocks[0] is not None and plan.stem_nbr is None:
         stem_ctx = ctxs[0]
     else:
         stem_ctx = GatherCtx(plan.stem_nbr, plan.levels[0].valid)
@@ -188,7 +195,7 @@ class Res16UNet34C(nn.Module):
 
         # stem (pixel_dist 1)
         stem_vol = (plan.stem_nbr.shape[0] if plan.stem_nbr is not None
-                    else 125)
+                    else (self.config or {}).get("conv1_kernel_size", 5) ** 3)
         out = stem_ctx.enter(feats)
         out = SubMConv(self.INIT_DIM, kernel_volume=stem_vol,
                        name="conv0p1s1")(out, stem_ctx)

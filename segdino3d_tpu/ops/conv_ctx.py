@@ -51,6 +51,37 @@ class GatherCtx:
 
 
 @jax.tree_util.register_pytree_node_class
+class CompactStemCtx:
+    """Degree-compacted stem execution (``SC.stem_compact_conv``): one
+    wide matmul + D slot-gathers + overflow segment-sum, from the host
+    plan's compacted tables (``native/sparseplan stem_compact``)."""
+
+    def __init__(self, slots: jnp.ndarray, ov_src: jnp.ndarray,
+                 ov_dst: jnp.ndarray, valid: jnp.ndarray):
+        self.slots = slots
+        self.ov_src = ov_src
+        self.ov_dst = ov_dst
+        self.valid = valid
+
+    def subm(self, feats, w):
+        return SC.stem_compact_conv(feats, w, self.slots, self.ov_src,
+                                    self.ov_dst, self.valid)
+
+    def enter(self, x):
+        return x
+
+    def exit(self, x):
+        return x
+
+    def tree_flatten(self):
+        return (self.slots, self.ov_src, self.ov_dst, self.valid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
 class DenseCtx:
     """Block-dense execution: features live as (B*edge^3, C) flat rows."""
 

@@ -47,6 +47,16 @@ def _load():
     lib.block_assign.restype = ctypes.c_int64
     lib.block_assign.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int32, i32p, i32p, ctypes.c_int64]
+    lib.stem_compact.restype = ctypes.c_int64
+    lib.stem_compact.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                 i32p, ctypes.c_int32, ctypes.c_int32,
+                                 i32p, i32p, i32p, ctypes.c_int64]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.probe_plan_counts.restype = None
+    lib.probe_plan_counts.argtypes = [i32p, u8p, ctypes.c_int64, i32p,
+                                      ctypes.c_int32, i64p, i64p,
+                                      i32p, ctypes.c_int32, ctypes.c_int32,
+                                      i64p]
     _lib = lib
     return lib
 
@@ -72,6 +82,68 @@ def probe_voxel_count(coords_f: np.ndarray, batch_idx: np.ndarray,
     return int(lib.voxel_dedup(
         _i32p(coords4), valid_u8.ctypes.data_as(
             ctypes.POINTER(ctypes.c_uint8)), n, _i32p(inverse), _i32p(vox), n))
+
+
+def probe_plan_counts(coords_f: np.ndarray, batch_idx: np.ndarray,
+                      valid: np.ndarray,
+                      block_edges: Sequence[int],
+                      num_levels: int = 5,
+                      stem_kernel: int = 0,
+                      stem_slots: int = 0):
+    """Count-only plan probe: per-level (unique voxels, blocks) without
+    building tables (~10x cheaper than ``build_host_plan``).  Used by the
+    eval loader's capacity prescan.
+
+    With ``stem_kernel`` > 0 also counts the level-0 stem pairs beyond
+    ``stem_slots`` per voxel (third return value) — pins a deterministic
+    compacted-stem overflow capacity per shape rung."""
+    lib = _load()
+    n = coords_f.shape[0]
+    ijk = np.maximum(np.floor(coords_f).astype(np.int32), 0)
+    coords4 = np.ascontiguousarray(
+        np.concatenate([batch_idx.astype(np.int32)[:, None], ijk], axis=1))
+    valid_u8 = np.ascontiguousarray(valid.astype(np.uint8))
+    edges = np.zeros(num_levels, np.int32)
+    for i, e in enumerate(list(block_edges or [])[:num_levels]):
+        edges[i] = int(e)
+    voxels = np.zeros(num_levels, np.int64)
+    blocks = np.zeros(num_levels, np.int64)
+    stem_ov = np.zeros(1, np.int64)
+    offs = (np.ascontiguousarray(kernel_offsets(stem_kernel))
+            if stem_kernel else np.zeros((1, 3), np.int32))
+    lib.probe_plan_counts(
+        _i32p(coords4),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        _i32p(edges), num_levels,
+        voxels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32p(offs), offs.shape[0] if stem_kernel else 0,
+        int(stem_slots),
+        stem_ov.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return voxels, blocks, int(stem_ov[0])
+
+
+def l0_dense_budget_bytes() -> int:
+    """The level-0 dense layout is only worth it when its widest conv runs
+    UNCHUNKED (block_dense._CHUNK_BUDGET_BYTES); share that env knob."""
+    return int(float(os.environ.get("SEGDINO_CONV_CHUNK_MB", "1024"))
+               * 2 ** 20)
+
+
+def l0_dense_fits(n_blocks: int, edge: int, channels: int = 48,
+                  itemsize: int = 2, halo: int = 1,
+                  budget: Optional[int] = None) -> bool:
+    """Predict whether level-0 dense convs stay off the slow ``lax.map``
+    chunking path.  This is the measured v5e layout crossover: block fill
+    is scale-invariant (~21% on 2-manifold scenes), but a chunked dense
+    conv loses to row-gathers (STATUS r3: 462 vs 305 ms on the 400k-pt
+    stress scene) while unchunked dense wins on typical scenes (85.9 vs
+    93.9 ms).  ``channels=48``: the widest L0 conv (192-ch block8 concat)
+    first takes ``dense_subm_conv``'s exact Cin-halving split down to
+    <96 channels; only if the 48-ch halo-padded buffer still exceeds the
+    budget does the conv fall onto ``lax.map``."""
+    padded = n_blocks * (edge + 2 * halo) ** 3 * channels * itemsize
+    return padded <= (l0_dense_budget_bytes() if budget is None else budget)
 
 
 def voxel_bucket(n: int) -> int:
@@ -114,6 +186,38 @@ class HostPlan(NamedTuple):
     # block-dense.  Distinct from ``subm_for_dense`` (parity tests build
     # every table but must NOT change the executed path).
     stem_gather: bool = False
+    # degree-compacted stem (ops/sparse_conv.stem_compact_conv): slot
+    # table (D, V0) of flat indices nbr*k^3+o, plus overflow COO pairs.
+    # When present the device stem runs ONE (V,Cin)@(Cin,k^3*Cout) matmul
+    # + D row-gathers instead of k^3 gathers (measured avg stem degree on
+    # ScanNet-like surfaces is ~28 of 125).
+    stem_slots: Optional[np.ndarray] = None     # (D, V0) int32
+    stem_ov_src: Optional[np.ndarray] = None    # (P,) int32 flat idx
+    stem_ov_dst: Optional[np.ndarray] = None    # (P,) int32 voxel idx
+
+
+def stem_slots_default(stem_compact_slots: Optional[int] = None) -> int:
+    """The compacted stem's slot count D: explicit > env > default 32
+    (measured optimum region on v5e — see tools/stem_bench.py)."""
+    return stem_degree_bucket(int(
+        stem_compact_slots or int(os.environ.get("SEGDINO_STEM_SLOTS",
+                                                 "32"))))
+
+
+def stem_degree_bucket(d: int) -> int:
+    """Slot-count ladder for the compacted stem table (bounds recompiles)."""
+    for rung in (8, 12, 16, 24, 32, 48, 64, 96, 128):
+        if d <= rung:
+            return rung
+    return d
+
+
+def overflow_bucket(n: int) -> int:
+    """~1.5x ladder for the overflow-pair capacity."""
+    m = 4096
+    while m < n:
+        m = ((max(m + 4096, int(m * 1.5)) + 4095) // 4096) * 4096
+    return m
 
 
 def build_host_plan(coords_f: np.ndarray,
@@ -125,7 +229,11 @@ def build_host_plan(coords_f: np.ndarray,
                     block_edges: Optional[Sequence[int]] = None,
                     block_caps: Optional[Sequence[int]] = None,
                     subm_for_dense: bool = False,
-                    stem_gather: bool = False) -> HostPlan:
+                    stem_gather: bool = False,
+                    stem_compact: Optional[bool] = None,
+                    stem_compact_slots: Optional[int] = None,
+                    stem_ov_cap: Optional[int] = None,
+                    l0_budget_bytes: Optional[int] = None) -> HostPlan:
     """coords_f: (N, 3) float voxel-unit coordinates (min-shifted >= 0).
 
     ``block_edges[l]`` > 0 gives level ``l`` block-dense layout tables
@@ -138,6 +246,17 @@ def build_host_plan(coords_f: np.ndarray,
     GEMM stem (125-offset halo traffic makes the dense stem ~50ms at 259
     input channels) + block-dense MXU convs for every other level-0 conv
     (the ResNet blocks' dense cost is ~half their row-gather cost).
+
+    ``l0_budget_bytes``: auto layout crossover — after the level-0
+    block assignment, predict the widest level-0 dense conv's halo-padded
+    buffer (``n_blocks*(edge+2)^3*l0_max_channels*2`` bytes, bf16) and
+    fall back to the gather layout for level 0 when it exceeds the
+    budget.  This is the *measured* crossover mechanism on v5e: block
+    fill is scale-invariant (~21% on 2-manifold scenes at e4), but once
+    the padded buffer outgrows ``SEGDINO_CONV_CHUNK_MB`` the dense conv
+    chunks through ``lax.map`` and loses to row-gathers (STATUS r3: 400k-
+    pt/2cm stress — hybrid 462 ms vs L0-gather 305 ms), while unchunked
+    dense wins on typical scenes (85.9 vs 93.9 ms).
     """
     lib = _load()
     block_edges = list(block_edges or [0] * num_levels)
@@ -181,14 +300,30 @@ def build_host_plan(coords_f: np.ndarray,
             n_blocks = int(lib.block_assign(
                 _i32p(level_coords), v_cap, level_cnt, edge,
                 _i32p(vox_slot), _i32p(block_nbr), b_cap))
-            overflow = overflow or (n_blocks > b_cap)
-            n_blocks = min(n_blocks, b_cap)
-            if not fixed:
-                bucket = block_bucket(n_blocks)
-                block_nbr = np.ascontiguousarray(
-                    np.pad(block_nbr[:, :n_blocks],
-                           ((0, 0), (0, bucket - n_blocks)),
-                           constant_values=-1))
+            if (li == 0 and l0_budget_bytes is not None
+                    and not l0_dense_fits(
+                        int(b_cap) if fixed else n_blocks, edge,
+                        budget=l0_budget_bytes)):
+                # auto layout crossover: this scene's level-0 dense convs
+                # would chunk — run level 0 gather-GEMM instead.  Keyed on
+                # the PINNED cap when one is given so every scene of a
+                # capacity rung compiles the same program.
+                edge = 0
+                block_edges[0] = 0
+                n_blocks, vox_slot, block_nbr = 0, None, None
+                if nbr is None:
+                    nbr = np.empty((27, v_cap), np.int32)
+                    lib.neighbor_table(_i32p(level_coords), v_cap,
+                                       level_cnt, _i32p(k3), 27, _i32p(nbr))
+            else:
+                overflow = overflow or (n_blocks > b_cap)
+                n_blocks = min(n_blocks, b_cap)
+                if not fixed:
+                    bucket = block_bucket(n_blocks)
+                    block_nbr = np.ascontiguousarray(
+                        np.pad(block_nbr[:, :n_blocks],
+                               ((0, 0), (0, bucket - n_blocks)),
+                               constant_values=-1))
         parent = kpos = None
         if li < num_levels - 1:
             c_cap = int(level_caps[li + 1])
@@ -210,7 +345,36 @@ def build_host_plan(coords_f: np.ndarray,
             level_cnt = ccnt
 
     stem = None
-    if not block_edges[0] or subm_for_dense or stem_gather:
+    slots = ov_src = ov_dst = None
+    stem_runs_gather = not block_edges[0] or stem_gather
+    if stem_compact is None:
+        # auto: compact the k5 stem whenever it runs gather-GEMM (the
+        # measured win is ~3.5x fewer gather rows); parity-test plans
+        # (subm_for_dense) keep the plain table so both paths stay
+        # comparable, and k3 stems reuse the level's 27-table instead.
+        stem_compact = (stem_runs_gather and stem_kernel != 3
+                        and not subm_for_dense
+                        and os.environ.get("SEGDINO_STEM_COMPACT", "1")
+                        != "0")
+    if stem_compact and stem_runs_gather and stem_kernel != 3:
+        k = np.ascontiguousarray(kernel_offsets(stem_kernel))
+        d_cap = stem_slots_default(stem_compact_slots)
+        slots = np.empty((d_cap, v0_cap), np.int32)
+        # deterministic when pinned by the eval prescan (stem_ov_cap);
+        # otherwise a 3x-valid heuristic with a rebuild-on-overflow retry
+        p_cap = (int(stem_ov_cap) if stem_ov_cap
+                 else overflow_bucket(max(4096, 3 * v0_cap)))
+        for _attempt in range(2):
+            ov_src = np.full(p_cap, -1, np.int32)
+            # dump row: v0_cap (the device segment-sum drops it)
+            ov_dst = np.full(p_cap, v0_cap, np.int32)
+            n_ov = int(lib.stem_compact(
+                _i32p(vox), v0_cap, cnt, _i32p(k), k.shape[0], d_cap,
+                _i32p(slots), _i32p(ov_src), _i32p(ov_dst), p_cap))
+            if n_ov <= p_cap:
+                break
+            p_cap = overflow_bucket(n_ov)
+    elif stem_runs_gather or subm_for_dense:
         if stem_kernel != 3:
             k = np.ascontiguousarray(kernel_offsets(stem_kernel))
             stem = np.empty((k.shape[0], v0_cap), np.int32)
@@ -223,7 +387,9 @@ def build_host_plan(coords_f: np.ndarray,
                 lib.neighbor_table(_i32p(vox), v0_cap, cnt, _i32p(k3), 27,
                                    _i32p(stem))
     return HostPlan(inverse_mapping=inverse, levels=levels, stem_nbr=stem,
-                    overflow=overflow, stem_gather=stem_gather)
+                    overflow=overflow, stem_gather=stem_gather,
+                    stem_slots=slots, stem_ov_src=ov_src,
+                    stem_ov_dst=ov_dst)
 
 
 def host_plan_to_device(plan: HostPlan, device: bool = True):
@@ -269,14 +435,21 @@ def host_plan_to_device(plan: HostPlan, device: bool = True):
     # (make_level_ctxs): a block-dense level 0 runs the stem gather-GEMM
     # iff the plan was built with stem_gather.  Plans that built every
     # table for parity tests (subm_for_dense) keep the dense stem.
+    # Compacted stem tables supersede the plain stem table outright.
     dense_l0 = blocks is not None and blocks[0] is not None
     emit_stem = plan.stem_nbr is not None and (
         not dense_l0 or plan.stem_gather)
+    stem_compact = None
+    if plan.stem_slots is not None:
+        stem_compact = (jnp.asarray(plan.stem_slots),
+                        jnp.asarray(plan.stem_ov_src),
+                        jnp.asarray(plan.stem_ov_dst))
     uplan = UNetPlan(
         levels=tuple(levels),
         subm_nbr=tuple(None if hl.subm_nbr is None else jnp.asarray(hl.subm_nbr)
                        for hl in plan.levels),
         stem_nbr=(jnp.asarray(plan.stem_nbr) if emit_stem else None),
         blocks=blocks,
+        stem_compact=stem_compact,
     )
     return uplan, jnp.asarray(plan.inverse_mapping)

@@ -178,10 +178,13 @@ class TestBackboneDenseParity:
                                  block_edges=[4, 4, 4, 4, 4],
                                  stem_gather=True)
         up_hybrid, _ = host_plan_to_device(plan_h)
-        assert up_hybrid.stem_nbr is not None      # hybrid marker
+        # hybrid marker: the gather stem now ships degree-compacted
+        assert up_hybrid.stem_compact is not None
         assert up_hybrid.blocks[0] is not None
-        plan_g = build_host_plan(coords, bidx, valid, caps)
+        plan_g = build_host_plan(coords, bidx, valid, caps,
+                                 stem_compact=False)
         up_gather, _ = host_plan_to_device(plan_g)
+        assert up_gather.stem_nbr is not None
         feats = jnp.where(
             up_hybrid.levels[0].valid[:, None],
             jnp.asarray(rng.randn(caps[0], 19).astype(np.float32)), 0.0)

@@ -92,10 +92,12 @@ def test_probe_voxel_count_small_cap_terminates():
     assert n == uniq
 
 
-def test_dense_l0_fallback_by_scene_size():
-    """attach_host_plan downgrades level 0 to the gather layout above
-    dense_l0_max_voxels per scene (measured v5e crossover: L0-gather wins
-    on 400k-pt multi-room scenes, hybrid wins on typical ~120k)."""
+def test_auto_l0_layout_crossover(monkeypatch):
+    """attach_host_plan downgrades level 0 to the gather layout when its
+    block count would push the widest dense conv onto the chunked
+    (lax.map) path — the mechanism behind the measured v5e crossover
+    (L0-gather wins on 400k-pt multi-room scenes, hybrid on ~120k).  The
+    budget rides SEGDINO_CONV_CHUNK_MB, shared with the conv itself."""
     import numpy as np
     from segdino3d_tpu.data.collate import PadSpec, collate, attach_host_plan
     from segdino3d_tpu.data.synthetic import synthetic_scene
@@ -109,13 +111,19 @@ def test_dense_l0_fallback_by_scene_size():
               block_edges=(4, 4, 4, 4, 4), stem_gather=True)
     b_hybrid = attach_host_plan(b0, [rec], spec, **kw)
     assert b_hybrid.unet_plan.blocks[0] is not None
-    assert b_hybrid.unet_plan.stem_nbr is not None
-    b_big = attach_host_plan(b0, [rec], spec, dense_l0_max_voxels=100, **kw)
-    # above the per-scene threshold: L0 falls back to gather
+    assert b_hybrid.unet_plan.stem_compact is not None  # hybrid stem
+
+    # shrink the chunk budget below this scene's padded-buffer size:
+    # the plan must flip level 0 to gather (and still carry a stem)
+    monkeypatch.setenv("SEGDINO_CONV_CHUNK_MB", "0.05")
+    b_big = attach_host_plan(b0, [rec], spec, **kw)
     assert (b_big.unet_plan.blocks is None
             or b_big.unet_plan.blocks[0] is None)
-    assert b_big.unet_plan.stem_nbr is not None
+    assert b_big.unet_plan.stem_compact is not None
     assert b_big.unet_plan.subm_nbr[0] is not None
+    # and the knob is OFF when auto_l0_layout is disabled
+    b_off = attach_host_plan(b0, [rec], spec, auto_l0_layout=False, **kw)
+    assert b_off.unet_plan.blocks[0] is not None
 
 
 def test_exact_min_shift_matches_spconv_reference_quantization():
@@ -149,3 +157,79 @@ def test_exact_min_shift_matches_spconv_reference_quantization():
                                   exact_min_shift=False)
     delta = np.floor(coords16[0, :n]) - np.floor(coords[0, :n])
     assert (delta != delta[0]).any()
+
+
+def test_stem_compact_matches_gather_stem():
+    """Degree-compacted stem (native stem_compact + stem_compact_conv)
+    must equal the plain gather-GEMM stem exactly — same pairs, different
+    execution order (D slot-gathers + overflow segment-sum vs 125
+    per-offset gathers).  Small D forces a large overflow population so
+    both paths are exercised."""
+    from segdino3d_tpu.models.backbone.res16unet import make_level_ctxs
+    from segdino3d_tpu.ops import sparse_conv as SC
+    from segdino3d_tpu.ops.conv_ctx import CompactStemCtx
+    from segdino3d_tpu.ops.host_plan import build_host_plan, host_plan_to_device
+
+    r = synthetic_scene(3, n_points=12000, n_superpoints=96, n_classes=18,
+                        feat_dim_2d=8)
+    c = np.asarray(r["points"][:, :3], np.float32) / 0.02
+    c -= np.floor(c.min(0) / 16.0) * 16.0
+    bidx = np.zeros(c.shape[0], np.int32)
+    valid = np.ones(c.shape[0], bool)
+    caps = [10240, 6144, 3072, 1536, 768]
+
+    plain = build_host_plan(c, bidx, valid, caps, stem_gather=True,
+                            stem_compact=False, block_edges=[4, 4, 4, 4, 4])
+    comp = build_host_plan(c, bidx, valid, caps, stem_gather=True,
+                           stem_compact=True, stem_compact_slots=8,
+                           block_edges=[4, 4, 4, 4, 4])
+    assert comp.stem_slots is not None and comp.stem_nbr is None
+    assert comp.stem_slots.shape[0] == 8
+    assert int((comp.stem_ov_src >= 0).sum()) > 0  # overflow exercised
+
+    nv = comp.levels[0].num_voxels
+    v = comp.stem_slots.shape[1]
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(v, 19).astype(np.float32))
+    w = jnp.asarray(rng.randn(125, 19, 8).astype(np.float32) * 0.1)
+    vmask = jnp.arange(v) < nv
+
+    ref = SC.subm_conv(feats, jnp.asarray(plain.stem_nbr), w, vmask)
+    got = SC.stem_compact_conv(
+        feats, w, jnp.asarray(comp.stem_slots),
+        jnp.asarray(comp.stem_ov_src), jnp.asarray(comp.stem_ov_dst), vmask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+    # device plan selects the compact ctx and computes the same thing
+    uplan, _inv = host_plan_to_device(comp)
+    _ctxs, stem_ctx = make_level_ctxs(uplan)
+    assert isinstance(stem_ctx, CompactStemCtx)
+    got2 = stem_ctx.subm(feats, w)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_stem_compact_auto_default_and_optout():
+    """Auto policy: k5 gather stems compact by default; parity plans
+    (subm_for_dense) and k3 stems keep the plain table."""
+    from segdino3d_tpu.ops.host_plan import build_host_plan
+
+    r = synthetic_scene(1, n_points=4000, n_superpoints=48, n_classes=18,
+                        feat_dim_2d=8)
+    c = np.asarray(r["points"][:, :3], np.float32) / 0.02
+    c -= np.floor(c.min(0) / 16.0) * 16.0
+    bidx = np.zeros(c.shape[0], np.int32)
+    valid = np.ones(c.shape[0], bool)
+    caps = [4096, 2048, 1024, 512, 256]
+
+    auto = build_host_plan(c, bidx, valid, caps, stem_gather=True,
+                           block_edges=[4, 4, 4, 4, 4])
+    assert auto.stem_slots is not None and auto.stem_nbr is None
+
+    parity = build_host_plan(c, bidx, valid, caps, subm_for_dense=True,
+                             block_edges=[4, 4, 4, 4, 4])
+    assert parity.stem_slots is None and parity.stem_nbr is not None
+
+    k3 = build_host_plan(c, bidx, valid, caps, stem_kernel=3)
+    assert k3.stem_slots is None and k3.stem_nbr is not None
