@@ -15,18 +15,21 @@ def test_export_roundtrip_matches_direct(tmp_path):
     from tools.export_serving import export_artifact, load_artifact
 
     out = str(tmp_path / "artifact")
-    exp, var_leaves, batch_leaves, meta = export_artifact(
+    exp, var_leaves, batch_leaves, meta, flat_infer = export_artifact(
         out, platform="cpu", n_points=2048, s_cap=64, batch_size=1,
         n_scene_points=1500, tiny=True)
 
     assert os.path.exists(os.path.join(out, "model.shlo"))
     assert meta["n_batch_leaves"] == len(batch_leaves)
+    assert len(meta["batch_leaf_paths"]) == len(batch_leaves)
 
     call, meta2 = load_artifact(out)
     got = call(batch_leaves)
 
-    # direct execution of the same exported function object
-    want = exp.call(var_leaves, batch_leaves)
+    # the real property: the deserialized artifact reproduces a DIRECT
+    # jax.jit execution of the original python function (not merely the
+    # same serialized blob run twice)
+    want = jax.jit(flat_infer)(var_leaves, batch_leaves)
     for k in ("scores", "labels", "valid", "masks_packed"):
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(want[k]), err_msg=k)
@@ -39,6 +42,63 @@ def test_export_roundtrip_matches_direct(tmp_path):
         assert json.load(f)["platform"] == "cpu"
 
 
+def test_export_model_caps_match_served_spec(tmp_path):
+    """Round-3 advisor finding: the exported model must be built with the
+    SERVED superpoint capacity — a model built smaller silently aliases
+    superpoints >= s_cap into the last slot.  s_cap here deliberately
+    differs from the init-time model (64)."""
+    from tools.export_serving import export_artifact
+
+    out = str(tmp_path / "artifact")
+    exp, _vl, batch_leaves, meta, _fn = export_artifact(
+        out, platform="cpu", n_points=4096, s_cap=256, batch_size=1,
+        n_scene_points=1500, tiny=True)
+    # the superpoint-id leaf in the batch may carry ids >= 64; the
+    # exported fn was traced with s_cap=256 so they survive
+    assert meta["pad_spec"]["s_cap"] == 256
+    sp_shapes = [tuple(s) for s in meta["batch_leaf_shapes"]]
+    assert any(s[-1] == 256 for s in sp_shapes), sp_shapes
+
+
+def test_export_with_orbax_ckpt(tmp_path):
+    """--ckpt <work_dir>: the artifact packages the TRAINED params (not
+    the random init)."""
+    import jax
+
+    from segdino3d_tpu.parallel.train_step import create_train_state
+    from segdino3d_tpu.train.checkpoint import save_checkpoint
+    from segdino3d_tpu.train.optim import build_optimizer
+    from tools.export_serving import export_artifact
+    from __graft_entry__ import _build
+
+    _m, _c, _tc, variables, _ = _build(
+        n_points=1024, s_cap=64, i_cap=8, k2d=16, batch=1,
+        num_layers=2, d_model=64, n_sem=20, n_inst_cls=18, feat2d=32)
+    # perturb params so trained != fresh-init deterministically
+    marked = jax.tree_util.tree_map(lambda x: x + 1.5, variables["params"])
+    tx, _ = build_optimizer(dict(lr=1e-3, weight_decay=0.0),
+                            dict(total_iters=10, power=0.9), None)
+    state = create_train_state(
+        {"params": marked, "batch_stats": variables["batch_stats"]}, tx)
+    work = str(tmp_path / "work")
+    save_checkpoint(work, jax.device_get(state))
+
+    out = str(tmp_path / "artifact")
+    _e, var_leaves, _bl, meta, _fn = export_artifact(
+        out, platform="cpu", n_points=2048, s_cap=64, batch_size=1,
+        n_scene_points=1500, tiny=True, ckpt=work)
+    assert meta["ckpt"] == work
+    z = np.load(os.path.join(out, "params.npz"))
+    packaged = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    want_leaves = jax.tree_util.tree_leaves(
+        {"params": jax.device_get(marked),
+         "batch_stats": jax.device_get(variables["batch_stats"])})
+    assert len(packaged) == len(want_leaves)
+    # every param leaf equals the checkpointed (perturbed) value
+    for i, (a, b) in enumerate(zip(packaged, want_leaves)):
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=str(i))
+
+
 def test_artifact_runs_in_fresh_process(tmp_path):
     """The serving loader must not need the model code path at all —
     run it in a subprocess that imports only jax + numpy + the loader."""
@@ -47,7 +107,7 @@ def test_artifact_runs_in_fresh_process(tmp_path):
     from tools.export_serving import export_artifact
 
     out = str(tmp_path / "artifact")
-    _, _, batch_leaves, _ = export_artifact(
+    _, _, batch_leaves, _, _fn = export_artifact(
         out, platform="cpu", n_points=2048, s_cap=64, batch_size=1,
         n_scene_points=1500, tiny=True)
     np.savez(str(tmp_path / "batch.npz"),

@@ -21,7 +21,14 @@ Usage:
 Artifact layout:
     model.shlo    serialized jax.export blob: f(params_leaves, batch_leaves)
     params.npz    parameter/batch-stat leaves, keyed by flattened path
-    meta.json     PadSpec + plan knobs + treedefs needed to rebuild inputs
+    meta.json     PadSpec + plan knobs + per-leaf shapes/dtypes AND the
+                  flattened key-paths of every batch leaf
+                  (``batch_leaf_paths``) — the input contract.  Leaf ORDER
+                  is ``jax.tree.flatten`` order of a ``collate`` +
+                  ``attach_host_plan`` batch; a serving host either
+                  imports the collate code (the intended path: the host
+                  must run the C++ sparse-plan builder anyway) or lines
+                  its arrays up against ``batch_leaf_paths``.
 """
 from __future__ import annotations
 
@@ -63,9 +70,56 @@ def build_infer_fn(model, test_cfg, batch_size):
     return infer
 
 
+def _load_ckpt_variables(ckpt: str, variables, kernel_order: str):
+    """Restore trained weights: an orbax ``work_dir`` (train-loop layout;
+    prefers EMA params when present, matching eval's ``swap_in_ema``) or a
+    torch ``.pth`` bridged through ``train/torch_import``."""
+    import jax
+
+    if ckpt.endswith((".pth", ".pt", ".pkl")):
+        from segdino3d_tpu.train.checkpoint import merge_pretrained
+        from segdino3d_tpu.train.torch_import import import_checkpoint
+
+        pre_params, pre_stats, unmapped = import_checkpoint(
+            ckpt, kernel_order=kernel_order)
+        if unmapped:
+            print(f"[export] {len(unmapped)} unmapped torch keys, "
+                  f"e.g. {unmapped[:3]}")
+        variables = dict(variables)
+        variables["params"] = merge_pretrained(variables["params"],
+                                               pre_params)
+        if pre_stats and "batch_stats" in variables:
+            variables["batch_stats"] = merge_pretrained(
+                variables["batch_stats"], pre_stats)
+        return variables
+
+    # raw (template-free) orbax restore: the export has no optimizer, so
+    # it can't rebuild the full TrainState structure StandardRestore wants
+    import orbax.checkpoint as ocp
+
+    from segdino3d_tpu.train.checkpoint import _ckpt_dir
+
+    with ocp.CheckpointManager(_ckpt_dir(ckpt)) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            raise SystemExit(f"no checkpoint found under {ckpt}")
+        raw = mgr.restore(step)
+    params = raw["ema_params"] if raw.get("ema_params") is not None \
+        else raw["params"]
+    print(f"[export] restored step {step} from {ckpt} "
+          f"({'EMA' if raw.get('ema_params') is not None else 'raw'} params)")
+    return {"params": params, "batch_stats": raw.get("batch_stats", {})}
+
+
 def export_artifact(out_dir: str, platform: str, n_points: int, s_cap: int,
                     batch_size: int = 1, n_scene_points: int = 120000,
-                    tiny: bool = False):
+                    tiny: bool = False, ckpt: str = None,
+                    kernel_order: str = "x_slowest"):
+    """``ckpt``: load trained weights into the exported artifact — either
+    an orbax ``work_dir`` written by the train loop (restores params +
+    batch_stats; EMA params when the checkpoint carries them) or a torch
+    ``.pth`` bridged through ``train/torch_import``.  Without it the
+    artifact packages randomly initialized parameters (smoke tests)."""
     import jax
     from jax import export as jexport
 
@@ -74,19 +128,43 @@ def export_artifact(out_dir: str, platform: str, n_points: int, s_cap: int,
     from __graft_entry__ import _build
 
     os.environ.setdefault("SEGDINO_COMPUTE_DTYPE", "bfloat16")
+    # init on tiny shapes (params are capacity-independent), then
+    # RE-instantiate the model with Capacities matching the serving spec:
+    # the backbone wrapper bakes s_cap/n_points at build time
+    # (superpoint ids clip to s_cap-1), so a model built smaller than the
+    # served batch would silently alias superpoints >= s_cap into the
+    # last slot and corrupt every instance mask.
     if tiny:
-        model, _c, test_cfg, variables, _ = _build(
+        _m, _c, _tc, variables, _ = _build(
             n_points=1024, s_cap=64, i_cap=8, k2d=16, batch=1,
             num_layers=2, d_model=64, n_sem=20, n_inst_cls=18, feat2d=32)
+        model, _c, test_cfg, _, _ = _build(
+            n_points=n_points, s_cap=s_cap, i_cap=8, k2d=16,
+            batch=batch_size, num_layers=2, d_model=64, n_sem=20,
+            n_inst_cls=18, feat2d=32, init=False)
     else:
-        model, _c, test_cfg, variables, _ = _build(
+        _m, _c, _tc, variables, _ = _build(
             n_points=2048, s_cap=128, i_cap=16, k2d=32, batch=1,
             num_layers=6, d_model=256, n_sem=200, n_inst_cls=198,
             feat2d=256)
+        model, _c, test_cfg, _, _ = _build(
+            n_points=n_points, s_cap=s_cap, i_cap=64, k2d=128,
+            batch=batch_size, num_layers=6, d_model=256, n_sem=200,
+            n_inst_cls=198, feat2d=256, init=False)
+
+    if ckpt:
+        variables = _load_ckpt_variables(ckpt, variables, kernel_order)
 
     k2d = 16 if tiny else 128
+    i_cap = 8 if tiny else 64
     n_sem = 20 if tiny else 200
-    spec = PadSpec(n_points, s_cap, 64, k2d, n_sem)
+    spec = PadSpec(n_points, s_cap, i_cap, k2d, n_sem)
+    # shape-consistency gate: the served spec must equal what the model
+    # was built with (round-3 advisor finding: the old code built
+    # s_cap=128 and served s_cap=1536 — every superpoint >= 128 aliased
+    # into slot 127 and the artifact produced silently wrong masks)
+    assert model.backbone.s_cap == spec.num_superpoints, \
+        (model.backbone.s_cap, spec)
     if tiny:
         from segdino3d_tpu.data.synthetic import synthetic_scene
         recs = [synthetic_scene(i, n_points=n_scene_points, n_instances=6,
@@ -125,19 +203,23 @@ def export_artifact(out_dir: str, platform: str, n_points: int, s_cap: int,
     np.savez(os.path.join(out_dir, "params.npz"),
              **{f"leaf_{i}": np.asarray(x)
                 for i, x in enumerate(var_leaves)})
+    leaf_paths = [jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(batch)[0]]
     meta = dict(
         platform=platform, batch_size=batch_size,
         n_batch_leaves=len(batch_leaves),
         batch_leaf_shapes=[list(x.shape) for x in batch_leaves],
         batch_leaf_dtypes=[str(np.dtype(x.dtype)) for x in batch_leaves],
-        pad_spec=dict(n_points=n_points, s_cap=s_cap, i_cap=64,
+        batch_leaf_paths=leaf_paths,
+        ckpt=ckpt,
+        pad_spec=dict(n_points=n_points, s_cap=s_cap, i_cap=i_cap,
                       k2d=k2d, n_sem=n_sem),
         plan=dict((k, list(v) if isinstance(v, (tuple, list)) else v)
                   for k, v in plan_kw.items()),
         n_scene_points=n_scene_points, tiny=tiny)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    return exp, var_leaves, batch_leaves, meta
+    return exp, var_leaves, batch_leaves, meta, flat_infer
 
 
 def load_artifact(out_dir: str):
@@ -171,13 +253,20 @@ def main():
                     help="tiny model/shapes (CI / smoke)")
     ap.add_argument("--run", action="store_true",
                     help="reload the artifact and execute it once")
+    ap.add_argument("--ckpt", default=None,
+                    help="trained weights: an orbax work_dir from the "
+                         "train loop, or a torch .pth to bridge; default "
+                         "= random init (smoke only)")
+    ap.add_argument("--kernel_order", default="x_slowest",
+                    choices=["x_slowest", "x_fastest"])
     args = ap.parse_args()
 
     import jax
     platform = args.platform or jax.default_backend()
-    exp, _vl, batch_leaves, meta = export_artifact(
+    exp, _vl, batch_leaves, meta, _fn = export_artifact(
         args.out, platform, args.points, args.sp, args.batch,
-        args.scene_points, tiny=args.tiny)
+        args.scene_points, tiny=args.tiny, ckpt=args.ckpt,
+        kernel_order=args.kernel_order)
     size = os.path.getsize(os.path.join(args.out, "model.shlo"))
     print(f"exported platform={platform} shlo={size / 1e6:.1f}MB "
           f"params={os.path.getsize(os.path.join(args.out, 'params.npz')) / 1e6:.1f}MB")
