@@ -2,8 +2,10 @@
 
 Counterpart of the reference's debug-only utilities
 (``segdino3d/models/module/pc_util.py:34-304``): ``random_sampling``,
-rotation helpers (``rotx/roty/rotz/roty_batch``, ``rotate_point_cloud``,
-``rotate_pc_along_y``), ``point_cloud_to_bbox``, and the mesh writers
+rotation helpers (``roty/rotz/roty_batch``, ``rotate_point_cloud``,
+``rotate_pc_along_y``; ``rotx`` is carried over from the upstream
+votenet-style pc_util these derive from — the reference file itself
+defines only the y/z variants), ``point_cloud_to_bbox``, and the mesh writers
 (``write_bbox``, ``write_oriented_bbox``,
 ``write_oriented_bbox_camera_coord``, ``write_lines_as_cylinders``).
 ``shift_scale_points``/``scale_points`` — the two functions the model
