@@ -208,6 +208,68 @@ class TestRes16UNetRoundtrip:
             np.testing.assert_array_equal(got_s[k], want_s[k], err_msg=k)
 
 
+def build_spconv_torch_sd(want_p, want_s, rng):
+    """Inverse-construct a torch state dict per spconvunet.py module naming
+    (reference ``spconvunet.py:21-226``); same replace-in-place contract as
+    ``build_res16_torch_sd``."""
+
+    def bn_key(base, leaf):
+        t = {"scale": "weight", "bias": "bias",
+             "mean": "running_mean", "var": "running_var"}[leaf]
+        return f"{base}.{t}"
+
+    sd = {}
+
+    def torch_base(name):
+        """our level-flattened module name -> reference recursive path"""
+        if name == "input_conv":
+            return "backbone.input_conv.0"
+        if name == "output_norm":
+            return "backbone.output_layer.0"
+        if name.startswith("down_conv_"):
+            l = int(name.rsplit("_", 1)[1])
+            return "backbone." + "u." * l + "conv.2"
+        if name.startswith("down_norm_"):
+            l = int(name.rsplit("_", 1)[1])
+            return "backbone." + "u." * l + "conv.0"
+        if name.startswith("up_conv_"):
+            l = int(name.rsplit("_", 1)[1])
+            return "backbone." + "u." * l + "deconv.2"
+        if name.startswith("up_norm_"):
+            l = int(name.rsplit("_", 1)[1])
+            return "backbone." + "u." * l + "deconv.0"
+        # blocks_l{l}_{r} / tail_l{l}_{r}
+        stage, lr = name.split("_l")
+        l, r = lr.split("_")
+        mod = "blocks" if stage == "blocks" else "blocks_tail"
+        return "backbone." + "u." * int(l) + f"{mod}.block{r}"
+
+    for want in (want_p, want_s):
+        for path, arr in want.items():
+            parts = path.split("/")
+            name = parts[0]
+            target = rng.randn(*arr.shape).astype(np.float32)
+            want[path] = target
+            base = torch_base(name)
+            if len(parts) == 2 and parts[1] == "kernel":
+                # conv modules (input/down/up): 5-d spconv KRSC weight
+                sd[f"{base}.weight"] = _spconv_torch_kernel(target)
+            elif len(parts) == 2:            # bare BN (down/up/output)
+                sd[bn_key(base, parts[1])] = target
+            elif parts[1] == "i_branch":
+                k1 = np.moveaxis(target[None, None, None], -1, 0)
+                sd[f"{base}.i_branch.0.weight"] = k1
+            else:
+                sub, leaf = parts[1], parts[2]
+                idx = {"norm1": 0, "conv1": 2, "norm2": 3, "conv2": 5}[sub]
+                if leaf == "kernel":
+                    sd[f"{base}.conv_branch.{idx}.weight"] = \
+                        _spconv_torch_kernel(target)
+                else:
+                    sd[bn_key(f"{base}.conv_branch.{idx}", leaf)] = target
+    return sd
+
+
 class TestSpConvUNetRoundtrip:
     @pytest.mark.slow
     def test_full_tree_roundtrip(self):
@@ -227,61 +289,7 @@ class TestSpConvUNetRoundtrip:
 
         want_p = _flatten(variables["params"])
         want_s = _flatten(variables["batch_stats"])
-
-        def bn_key(base, leaf):
-            t = {"scale": "weight", "bias": "bias",
-                 "mean": "running_mean", "var": "running_var"}[leaf]
-            return f"{base}.{t}"
-
-        sd = {}
-
-        def torch_base(name):
-            """our level-flattened module name -> reference recursive path"""
-            if name == "input_conv":
-                return "backbone.input_conv.0"
-            if name == "output_norm":
-                return "backbone.output_layer.0"
-            if name.startswith("down_conv_"):
-                l = int(name.rsplit("_", 1)[1])
-                return "backbone." + "u." * l + "conv.2"
-            if name.startswith("down_norm_"):
-                l = int(name.rsplit("_", 1)[1])
-                return "backbone." + "u." * l + "conv.0"
-            if name.startswith("up_conv_"):
-                l = int(name.rsplit("_", 1)[1])
-                return "backbone." + "u." * l + "deconv.2"
-            if name.startswith("up_norm_"):
-                l = int(name.rsplit("_", 1)[1])
-                return "backbone." + "u." * l + "deconv.0"
-            # blocks_l{l}_{r} / tail_l{l}_{r}
-            stage, lr = name.split("_l")
-            l, r = lr.split("_")
-            mod = "blocks" if stage == "blocks" else "blocks_tail"
-            return "backbone." + "u." * int(l) + f"{mod}.block{r}"
-
-        for tree, want in (("p", want_p), ("s", want_s)):
-            for path, arr in want.items():
-                parts = path.split("/")
-                name = parts[0]
-                target = rng.randn(*arr.shape).astype(np.float32)
-                want[path] = target
-                base = torch_base(name)
-                if len(parts) == 2 and parts[1] == "kernel":
-                    # conv modules (input/down/up): 5-d spconv KRSC weight
-                    sd[f"{base}.weight"] = _spconv_torch_kernel(target)
-                elif len(parts) == 2:            # bare BN (down/up/output)
-                    sd[bn_key(base, parts[1])] = target
-                elif parts[1] == "i_branch":
-                    k1 = np.moveaxis(target[None, None, None], -1, 0)
-                    sd[f"{base}.i_branch.0.weight"] = k1
-                else:
-                    sub, leaf = parts[1], parts[2]
-                    idx = {"norm1": 0, "conv1": 2, "norm2": 3, "conv2": 5}[sub]
-                    if leaf == "kernel":
-                        sd[f"{base}.conv_branch.{idx}.weight"] = \
-                            _spconv_torch_kernel(target)
-                    else:
-                        sd[bn_key(f"{base}.conv_branch.{idx}", leaf)] = target
+        sd = build_spconv_torch_sd(want_p, want_s, rng)
 
         params, stats, unmapped = import_state_dict(sd)
         assert unmapped == [], unmapped[:10]
