@@ -109,6 +109,7 @@ def _probe_scene_caps(args):
 
     from segdino3d_tpu.data.synthetic import synthetic_scene
     from segdino3d_tpu.ops.host_plan import (probe_plan_counts,
+                                             stem_compact_enabled,
                                              stem_slots_default)
 
     r = synthetic_scene(seed, n_points=n_points, n_instances=24,
@@ -117,9 +118,12 @@ def _probe_scene_caps(args):
     c -= np.floor(c.min(0) / 16.0) * 16.0
     bidx = np.zeros(c.shape[0], np.int32)
     valid = np.ones(c.shape[0], bool)
+    # stem-overflow counting only matters when the (opt-in) compacted
+    # stem is in play — the default plain stem reads no overflow table
+    stem_on = stem_compact_enabled()
     voxels, blocks, stem_ov = probe_plan_counts(
-        c, bidx, valid, block_edges or [], stem_kernel=5,
-        stem_slots=stem_slots_default())
+        c, bidx, valid, block_edges or [], stem_kernel=5 if stem_on else 0,
+        stem_slots=stem_slots_default() if stem_on else 0)
     nv = int(voxels[0])
     if block_edges is None or not any(block_edges):
         return nv, None, stem_ov
@@ -237,6 +241,7 @@ def main():
 
         from segdino3d_tpu.ops.host_plan import (block_bucket,
                                                  overflow_bucket,
+                                                 stem_compact_enabled,
                                                  voxel_bucket)
         seeds = (list(range(len(ds))) +
                  list(range(100, 100 + 3 * batch_size)))
@@ -248,8 +253,10 @@ def main():
                                    block_edges) for s in seeds]))
         voxel_cap = voxel_bucket(
             int(batch_size * max(p[0] for p in probes) * 1.02))
-        stem_ov_cap = overflow_bucket(
-            max(4096, int(batch_size * max(p[2] for p in probes) * 1.05)))
+        if stem_compact_enabled():
+            stem_ov_cap = overflow_bucket(
+                max(4096, int(batch_size * max(p[2] for p in probes)
+                              * 1.05)))
         if probes[0][1] is not None:
             block_caps = [
                 0 if not e else block_bucket(
@@ -356,7 +363,8 @@ def main():
             f" pipe_stages[ms/batch]: load(spooled)={1000 * t_load:.0f} "
             f"collate={c_ms:.0f} plan={p_ms:.0f} device_put={u_ms:.0f} "
             f"(spool_once={spool_s:.0f}s; dev-tunnel ~12MB/s; PCIe-host "
-            f"projection @ {workers} workers: {proj:.2f} scenes/s)")
+            f"projection @ {workers} workers / {os.cpu_count()} cores: "
+            f"{proj:.2f} scenes/s)")
 
         # -- overlapped pipeline through the production process loader
         # (GIL-free workers build complete numpy batches; upload+compute

@@ -431,16 +431,17 @@ class EvalLoader:
                                                  l0_dense_fits,
                                                  overflow_bucket,
                                                  probe_plan_counts,
+                                                 stem_compact_enabled,
                                                  stem_slots_default)
 
         edges = list(cfg.get("block_edges") or [])
         num_levels = cfg.get("num_levels", 5)
         stem_kernel = cfg.get("stem_kernel", 5)
-        # the compacted stem runs whenever the stem is gather-GEMM —
-        # including after a rung-level L0 layout flip — so probe its
-        # overflow for every non-k3 stem (p_cap pins per rung)
+        # probe the compacted stem's overflow only when that stem is
+        # actually in play (opt-in; measured slower than the plain
+        # 125-gather stem on v5e — see host_plan.build_host_plan)
         probe_stem = (stem_kernel != 3
-                      and cfg.get("stem_compact") is not False)
+                      and stem_compact_enabled(cfg.get("stem_compact")))
         stem_d = stem_slots_default(cfg.get("stem_compact_slots"))
         per_rung: Dict = {}
         rng = np.random.RandomState(0)

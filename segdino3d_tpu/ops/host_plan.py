@@ -204,6 +204,15 @@ def stem_slots_default(stem_compact_slots: Optional[int] = None) -> int:
                                                  "32"))))
 
 
+def stem_compact_enabled(explicit: Optional[bool] = None) -> bool:
+    """Whether the degree-compacted stem is in play (explicit flag wins,
+    else the SEGDINO_STEM_COMPACT opt-in — default off, see the measured
+    disposition in ``build_host_plan``)."""
+    if explicit is not None:
+        return bool(explicit)
+    return os.environ.get("SEGDINO_STEM_COMPACT", "0") == "1"
+
+
 def stem_degree_bucket(d: int) -> int:
     """Slot-count ladder for the compacted stem table (bounds recompiles)."""
     for rung in (8, 12, 16, 24, 32, 48, 64, 96, 128):
@@ -348,14 +357,18 @@ def build_host_plan(coords_f: np.ndarray,
     slots = ov_src = ov_dst = None
     stem_runs_gather = not block_edges[0] or stem_gather
     if stem_compact is None:
-        # auto: compact the k5 stem whenever it runs gather-GEMM (the
-        # measured win is ~3.5x fewer gather rows); parity-test plans
-        # (subm_for_dense) keep the plain table so both paths stay
-        # comparable, and k3 stems reuse the level's 27-table instead.
+        # default OFF: re-measured in isolation on a clean v5e
+        # (tools/stem_bench.py --variants current,prod), the compacted
+        # stem is ~3x SLOWER than the plain 125-gather stem (D=32:
+        # 113 ms vs 34.4 ms/app; e2e step 160.7 vs 83.5 ms) — random
+        # row-gathers over the (V*125, Cout) product table lose HBM
+        # locality once that buffer is ~740 MB, so fewer-but-colder
+        # gathers cost more than 125 warm ones (the earlier "3.5x win"
+        # was measured on a contended host and did not reproduce).
+        # Opt in with SEGDINO_STEM_COMPACT=1 to re-evaluate elsewhere.
         stem_compact = (stem_runs_gather and stem_kernel != 3
                         and not subm_for_dense
-                        and os.environ.get("SEGDINO_STEM_COMPACT", "1")
-                        != "0")
+                        and stem_compact_enabled())
     if stem_compact and stem_runs_gather and stem_kernel != 3:
         k = np.ascontiguousarray(kernel_offsets(stem_kernel))
         d_cap = stem_slots_default(stem_compact_slots)

@@ -178,8 +178,9 @@ class TestBackboneDenseParity:
                                  block_edges=[4, 4, 4, 4, 4],
                                  stem_gather=True)
         up_hybrid, _ = host_plan_to_device(plan_h)
-        # hybrid marker: the gather stem now ships degree-compacted
-        assert up_hybrid.stem_compact is not None
+        # hybrid marker: plain gather stem over a block-dense level 0
+        # (the compacted stem is opt-in — see host_plan.build_host_plan)
+        assert up_hybrid.stem_nbr is not None
         assert up_hybrid.blocks[0] is not None
         plan_g = build_host_plan(coords, bidx, valid, caps,
                                  stem_compact=False)
