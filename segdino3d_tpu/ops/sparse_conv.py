@@ -239,9 +239,10 @@ def _subm_conv_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
         # matmul-first: out[i] = sum_o (X @ W[o])[nbr[o,i]] — gathers rows
         # of width Cout instead of Cin. For the 259->32 k5 stem this cuts
         # gather traffic ~8x (row selection commutes with the matmul).
-        # Offsets are grouped so each scan-step matmul has N ~= 128 output
-        # columns (full MXU lane utilization instead of N=Cout).
-        g = max(1, 128 // cout)
+        # Offsets are grouped so each scan-step matmul has N ~= 256 output
+        # columns (full MXU lane utilization instead of N=Cout; 256 beat
+        # 128 by ~0.8 ms on the v5e k5 stem — tools/stem_bench.py g8).
+        g = max(1, 256 // cout)
         n_groups = -(-n_off // g)
         pad = n_groups * g - n_off
         w_p = jnp.concatenate(
