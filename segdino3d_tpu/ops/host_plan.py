@@ -438,11 +438,22 @@ def host_plan_to_device(plan: HostPlan, device: bool = True):
     if any(hl.vox_slot is not None for hl in plan.levels):
         from segdino3d_tpu.ops.block_dense import BlockTables
 
+        def _invert_slots(vox_slot, n_dense):
+            # dense slot -> voxel id (-1 empty); enables the scatter-free
+            # bijection transposes in ops.block_dense
+            inv = np.full(n_dense, -1, np.int32)
+            m = vox_slot >= 0
+            inv[vox_slot[m]] = np.nonzero(m)[0].astype(np.int32)
+            return inv
+
         blocks = tuple(
             None if hl.vox_slot is None else
             BlockTables(vox_slot=jnp.asarray(hl.vox_slot),
                         block_nbr=jnp.asarray(hl.block_nbr),
-                        edge=hl.block_edge)
+                        edge=hl.block_edge,
+                        slot_vox=jnp.asarray(_invert_slots(
+                            hl.vox_slot,
+                            hl.block_nbr.shape[1] * hl.block_edge ** 3)))
             for hl in plan.levels)
     # stem_nbr in the DEVICE plan selects the executed stem path
     # (make_level_ctxs): a block-dense level 0 runs the stem gather-GEMM

@@ -270,3 +270,49 @@ class TestHaloPadGrad:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestBijectionTranspose:
+    """The voxel <-> dense-slot map is a bijection on valid entries: with
+    the plan's inverse table, gather_from_dense's VJP is the mirror
+    gather (``BD._bijection_take``) instead of autodiff's scatter-add.
+    Values must be bit-identical and grads must match autodiff of the
+    scatter formulation.  (The forward of scatter_to_dense deliberately
+    stays a scatter — the gather formulation measured ~7 ms/step slower,
+    see its docstring.)"""
+
+    def test_matches_scatter_fallback_and_grads(self):
+        _, uplan = _plan()
+        rng = np.random.RandomState(7)
+        for li in range(2):
+            t = uplan.blocks[li]
+            assert t.slot_vox is not None
+            t_fb = BD.BlockTables(t.vox_slot, t.block_nbr, t.edge)
+            v = t.vox_slot.shape[0]
+            valid = uplan.levels[li].valid
+            feats = jnp.where(
+                valid[:, None],
+                jnp.asarray(rng.randn(v, 8).astype(np.float32)), 0.0)
+
+            d_bij = BD.scatter_to_dense(feats, t)
+            d_fb = BD.scatter_to_dense(feats, t_fb)
+            np.testing.assert_array_equal(np.asarray(d_bij), np.asarray(d_fb))
+
+            dense = jnp.asarray(
+                rng.randn(d_fb.shape[0], 8).astype(np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(BD.gather_from_dense(dense, t)),
+                np.asarray(BD.gather_from_dense(dense, t_fb)))
+
+            np.testing.assert_array_equal(
+                np.asarray(BD.occupancy(t, valid)),
+                np.asarray(BD.occupancy(t_fb, valid)))
+
+            def f(x, tbl):
+                return (BD.gather_from_dense(
+                    BD.scatter_to_dense(x, tbl) * 1.7, tbl) ** 2).sum()
+
+            g_bij = jax.grad(lambda x: f(x, t))(feats)
+            g_fb = jax.grad(lambda x: f(x, t_fb))(feats)
+            np.testing.assert_allclose(np.asarray(g_bij), np.asarray(g_fb),
+                                       rtol=1e-6, atol=1e-6)

@@ -112,7 +112,7 @@ def main():
     sel = set(args.variants.split(","))
 
     if "current" in sel:
-        timed("current(subm_conv g=4)",
+        timed("current(subm_conv)",
               lambda f: SC.subm_conv(f, nbr, w, valid))
     if "sorted" in sel:
         timed("sorted(block-major ids)",
@@ -149,6 +149,43 @@ def main():
         timed("g16(Y width 512)", lambda f: matmul_first(f, nbr, 16))
     if "g8_sorted" in sel:
         timed("g8 sorted", lambda f: matmul_first(f, nbr_sorted, 8))
+
+    def matmul_first_tree(f, nbr_, g):
+        # like matmul_first but the g per-step gathers reduce as a
+        # balanced tree (one wide fusion) instead of a sequential chain
+        n_off = 125
+        n_groups = -(-n_off // g)
+        pad = n_groups * g - n_off
+        w_p = jnp.concatenate([w, jnp.zeros((pad, cin, cout), w.dtype)]) \
+            if pad else w
+        nbr_p = jnp.concatenate([nbr_, jnp.full((pad, v), -1, jnp.int32)]) \
+            if pad else nbr_
+        w_grp = w_p.reshape(n_groups, g, cin, cout).transpose(0, 2, 1, 3) \
+            .reshape(n_groups, cin, g * cout).astype(f.dtype)
+        nbr_grp = nbr_p.reshape(n_groups, g, v)
+        out0 = jnp.zeros((v, cout), f.dtype)
+
+        def body(acc, xs):
+            w_g, nbr_g = xs
+            y = jnp.dot(f, w_g,
+                        preferred_element_type=jnp.float32).astype(f.dtype)
+            parts = [SC._gather_rows(y[:, j * cout:(j + 1) * cout],
+                                     nbr_g[j]) for j in range(g)]
+            while len(parts) > 1:
+                parts = [parts[i] + parts[i + 1]
+                         if i + 1 < len(parts) else parts[i]
+                         for i in range(0, len(parts), 2)]
+            return acc + parts[0], None
+
+        out, _ = jax.lax.scan(body, out0, (w_grp, nbr_grp))
+        return jnp.where(valid[:, None], out, 0.0)
+
+    if "g8tree" in sel:
+        timed("g8tree(balanced adds)",
+              lambda f: matmul_first_tree(f, nbr, 8))
+    if "g16tree" in sel:
+        timed("g16tree(balanced adds)",
+              lambda f: matmul_first_tree(f, nbr, 16))
 
     if "pure_matmul" in sel:
         w_g32 = jnp.asarray(
