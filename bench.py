@@ -124,10 +124,10 @@ def _probe_scene_caps(args):
     voxels, blocks, stem_ov = probe_plan_counts(
         c, bidx, valid, block_edges or [], stem_kernel=5 if stem_on else 0,
         stem_slots=stem_slots_default() if stem_on else 0)
-    nv = int(voxels[0])
+    nvs = [int(v) for v in voxels]
     if block_edges is None or not any(block_edges):
-        return nv, None, stem_ov
-    return nv, [int(b) for b in blocks], stem_ov
+        return nvs, None, stem_ov
+    return nvs, [int(b) for b in blocks], stem_ov
 
 
 def main():
@@ -235,6 +235,7 @@ def main():
     # share voxels/blocks across the batch dim).
     block_caps = None
     stem_ov_cap = None
+    level_caps = None
     if voxel_cap is None:
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
@@ -252,7 +253,14 @@ def main():
                                  [(s, n_scene_points, s_cap, ratios,
                                    block_edges) for s in seeds]))
         voxel_cap = voxel_bucket(
-            int(batch_size * max(p[0] for p in probes) * 1.02))
+            int(batch_size * max(p[0][0] for p in probes) * 1.02))
+        # measured per-level caps: levels 1+ stop paying the ratio
+        # padding (attach_host_plan level_caps); pinned over every seed
+        # the bench touches, so one compiled shape as before
+        n_lvl = len(probes[0][0])
+        level_caps = [voxel_cap] + [
+            int(batch_size * max(p[0][li] for p in probes) * 1.02)
+            for li in range(1, n_lvl)]
         if stem_compact_enabled():
             stem_ov_cap = overflow_bucket(
                 max(4096, int(batch_size * max(p[2] for p in probes)
@@ -274,6 +282,7 @@ def main():
                                 block_edges=block_edges,
                                 block_caps=block_caps,
                                 stem_ov_cap=stem_ov_cap,
+                                level_caps=level_caps,
                                 stem_gather=stem_gather)
 
     def infer(variables, batch):
@@ -349,6 +358,7 @@ def main():
             b = attach_host_plan(b, recs, spec, voxel_size=0.02,
                                  voxel_cap=voxel_cap,
                                  level_cap_ratios=ratios,
+                                 level_caps=level_caps,
                                  block_edges=block_edges,
                                  block_caps=block_caps,
                                  stem_ov_cap=stem_ov_cap,
@@ -383,6 +393,7 @@ def main():
             worker_mode="process",
             host_plan_cfg=dict(voxel_size=0.02, voxel_cap=voxel_cap,
                                level_cap_ratios=ratios,
+                               level_caps=level_caps,
                                block_edges=block_edges,
                                block_caps=block_caps,
                                stem_ov_cap=stem_ov_cap,

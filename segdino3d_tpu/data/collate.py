@@ -217,6 +217,7 @@ def probe_plan_caps(batch: SceneBatch, records: List[Dict], *,
 def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
                      *, voxel_size: float, voxel_cap: Optional[int] = None,
                      level_cap_ratios=(1.0, 0.7, 0.35, 0.12, 0.05),
+                     level_caps: Optional[Sequence[int]] = None,
                      num_levels: int = 5, stem_kernel: int = 5,
                      block_edges: Optional[Sequence[int]] = None,
                      block_caps: Optional[Sequence[int]] = None,
@@ -235,9 +236,12 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
 
     ``voxel_cap=None`` probes the batch's unique-voxel count and picks a
     geometric bucket (~1.3x ladder) — bounded padding waste with a bounded
-    number of compiled shapes.  ``block_edges[l]`` > 0 switches level ``l``
-    to the block-dense conv layout (``ops.block_dense``); block counts are
-    bucketed geometrically unless ``block_caps`` pins them.
+    number of compiled shapes.  ``level_caps`` (measured per-level voxel
+    caps, e.g. from the EvalLoader prescan) overrides the
+    ``level_cap_ratios`` derivation so levels 1+ pay no ratio padding.
+    ``block_edges[l]`` > 0 switches level ``l`` to the block-dense conv
+    layout (``ops.block_dense``); block counts are bucketed geometrically
+    unless ``block_caps`` pins them.
 
     ``auto_l0_layout``: plan-time layout crossover — level 0 falls back to
     the gather-GEMM layout whenever its measured block count would push
@@ -253,13 +257,23 @@ def attach_host_plan(batch: SceneBatch, records: List[Dict], spec: PadSpec,
 
     coords, valid, bidx = _plan_coords(batch, records, voxel_size,
                                    exact_min_shift)
-    if voxel_cap is None:
-        n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
-                                  valid.reshape(-1))
-        voxel_cap = voxel_bucket(n_vox)
-    caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
-            for r in level_cap_ratios[:num_levels]]
-    caps[0] = voxel_cap
+    if level_caps is not None:
+        # measured per-level caps (e.g. the EvalLoader prescan or the
+        # bench probe): no ratio padding on levels 1+ — down/up convs,
+        # layout transposes and norms all pay cap-many rows
+        caps = [max(256, -(-int(c) // 256) * 256)
+                for c in level_caps[:num_levels]]
+        if voxel_cap is not None:
+            caps[0] = voxel_cap
+        voxel_cap = caps[0]
+    else:
+        if voxel_cap is None:
+            n_vox = probe_voxel_count(coords.reshape(-1, 3), bidx,
+                                      valid.reshape(-1))
+            voxel_cap = voxel_bucket(n_vox)
+        caps = [max(256, -(-int(voxel_cap * r) // 256) * 256)
+                for r in level_cap_ratios[:num_levels]]
+        caps[0] = voxel_cap
     plan = build_host_plan(coords.reshape(-1, 3), bidx, valid.reshape(-1),
                            caps, num_levels=num_levels,
                            stem_kernel=stem_kernel,

@@ -486,7 +486,10 @@ class EvalLoader:
                 rung_edges[0] = 0
                 block_caps[0] = 0
             out[spec] = dict(voxel_cap=voxel_cap, block_caps=block_caps,
-                             block_edges=rung_edges)
+                             block_edges=rung_edges,
+                             # measured per-level caps: levels 1+ stop
+                             # paying ratio padding (collate.attach_host_plan)
+                             level_caps=[int(v) for v in voxels])
             if probe_stem:
                 out[spec]["stem_ov_cap"] = overflow_bucket(
                     max(4096, int(stem_ov)))

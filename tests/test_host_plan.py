@@ -242,3 +242,34 @@ def test_stem_compact_auto_default_and_optout(monkeypatch):
 
     k3 = build_host_plan(c, bidx, valid, caps, stem_kernel=3)
     assert k3.stem_slots is None and k3.stem_nbr is not None
+
+
+def test_attach_host_plan_level_caps_override():
+    """``level_caps`` (measured, e.g. by the EvalLoader prescan or the
+    bench probe) replaces the ratio-derived caps on levels 1+ — no ratio
+    padding — while producing the same valid voxels per level."""
+    from segdino3d_tpu.data.collate import PadSpec, attach_host_plan, collate
+
+    r = synthetic_scene(2, n_points=6000, n_superpoints=64, n_classes=18,
+                        n_queries2d=8, feat_dim_2d=8)
+    spec = PadSpec(8192, 64, 8, 8, 18)
+    b0 = collate([r], spec)
+    kw = dict(voxel_size=0.02, block_edges=(4, 4, 4, 4, 4),
+              stem_gather=True)
+
+    by_ratio = attach_host_plan(b0, [r], spec, voxel_cap=8192,
+                                level_cap_ratios=(1.0, 0.4, 0.15, 0.06,
+                                                  0.025), **kw)
+    nv = [int(lv.num_voxels) for lv in by_ratio.unet_plan.levels]
+
+    tight = attach_host_plan(b0, [r], spec,
+                             level_caps=[int(v * 1.02) for v in nv], **kw)
+    for li, lv in enumerate(tight.unet_plan.levels):
+        cap = lv.valid.shape[0]
+        want = max(256, -(-int(nv[li] * 1.02) // 256) * 256)
+        assert cap == want, (li, cap, want)
+        assert int(lv.num_voxels) == nv[li]
+    # levels 1+ got strictly tighter than the ratio padding
+    ratio_caps = [lv.valid.shape[0] for lv in by_ratio.unet_plan.levels]
+    tight_caps = [lv.valid.shape[0] for lv in tight.unet_plan.levels]
+    assert tight_caps[1] < ratio_caps[1]
