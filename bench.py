@@ -242,8 +242,7 @@ def main():
 
         from segdino3d_tpu.ops.host_plan import (block_bucket,
                                                  overflow_bucket,
-                                                 stem_compact_enabled,
-                                                 voxel_bucket)
+                                                 stem_compact_enabled)
         seeds = (list(range(len(ds))) +
                  list(range(100, 100 + 3 * batch_size)))
         # spawn: never fork a process holding the TPU client
@@ -252,15 +251,16 @@ def main():
             probes = list(ex.map(_probe_scene_caps,
                                  [(s, n_scene_points, s_cap, ratios,
                                    block_edges) for s in seeds]))
-        voxel_cap = voxel_bucket(
-            int(batch_size * max(p[0][0] for p in probes) * 1.02))
-        # measured per-level caps: levels 1+ stop paying the ratio
-        # padding (attach_host_plan level_caps); pinned over every seed
-        # the bench touches, so one compiled shape as before
+        # measured per-level caps (attach_host_plan level_caps): L0 pays
+        # the tight measured count instead of the ~1.3x voxel_bucket rung
+        # (the stem's 125 row-gathers scale with the L0 cap), and levels
+        # 1+ stop paying the ratio padding.  Pinned over every seed the
+        # bench touches, so one compiled shape as before.
         n_lvl = len(probes[0][0])
-        level_caps = [voxel_cap] + [
+        level_caps = [
             int(batch_size * max(p[0][li] for p in probes) * 1.02)
-            for li in range(1, n_lvl)]
+            for li in range(n_lvl)]
+        voxel_cap = max(256, -(-level_caps[0] // 256) * 256)
         if stem_compact_enabled():
             stem_ov_cap = overflow_bucket(
                 max(4096, int(batch_size * max(p[2] for p in probes)

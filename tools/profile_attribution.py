@@ -54,6 +54,9 @@ def build_step(mode: str):
     stem_gather = os.environ.get("BENCH_STEM_GATHER", "1") != "0"
     ratios = tuple(float(x) for x in os.environ.get(
         "BENCH_LEVEL_RATIOS", "1.0,0.4,0.15,0.06,0.025").split(","))
+    caps_env = os.environ.get("BENCH_LEVEL_CAPS", "")
+    level_caps = ([int(x) for x in caps_env.split(",")]
+                  if caps_env else None)
 
     model, criterion, test_cfg, variables, _ = _build(
         n_points=2048, s_cap=128, i_cap=16, k2d=32, batch=1,
@@ -64,7 +67,9 @@ def build_step(mode: str):
     recs = [ds.get_record(0)]
     batch = collate(recs, spec)
     batch = attach_host_plan(batch, recs, spec, voxel_size=0.02,
-                             voxel_cap=voxel_cap, level_cap_ratios=ratios,
+                             voxel_cap=None if level_caps else voxel_cap,
+                             level_cap_ratios=ratios,
+                             level_caps=level_caps,
                              block_edges=block_edges,
                              stem_gather=stem_gather)
     import jax.numpy as jnp
