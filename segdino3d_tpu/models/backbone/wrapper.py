@@ -146,16 +146,16 @@ class SparseBackboneWrapper(nn.Module):
         pt_feats = devoxelize(vox_out, inverse, pvalid)
 
         seg = superpoint_segment_ids(batch.superpoint_ids, s_cap)
-        sp_feats = scatter.segment_mean(pt_feats, seg, b * s_cap, pvalid)
-        sp_feats = sp_feats.reshape(b, s_cap, -1)
-
         q_with = jnp.floor(coords_vox).astype(jnp.float32) * self.voxel_size
-        sp_pos = scatter.segment_mean(
-            q_with, seg, b * s_cap, pvalid).reshape(b, s_cap, 3)
         q_wo = jnp.floor(pts[:, :3] / self.voxel_size).astype(jnp.float32) \
             * self.voxel_size
-        sp_pos_wo = scatter.segment_mean(
-            q_wo, seg, b * s_cap, pvalid).reshape(b, s_cap, 3)
+        # one fused scatter pass per dtype group (bit-identical to three
+        # segment_mean calls; scatters are row-issue-bound, width-free)
+        sp_feats, sp_pos, sp_pos_wo = scatter.segment_mean_stack(
+            [pt_feats, q_with, q_wo], seg, b * s_cap, pvalid)
+        sp_feats = sp_feats.reshape(b, s_cap, -1)
+        sp_pos = sp_pos.reshape(b, s_cap, 3)
+        sp_pos_wo = sp_pos_wo.reshape(b, s_cap, 3)
 
         sp_valid = (jnp.arange(s_cap, dtype=jnp.int32)[None, :]
                     < batch.num_superpoints[:, None])

