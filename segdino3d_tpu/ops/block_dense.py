@@ -131,6 +131,13 @@ _bijection_take.defvjp(_bijection_take_fwd, _bijection_take_bwd)
 
 def occupancy(tables: BlockTables, valid: jnp.ndarray) -> jnp.ndarray:
     """(B*edge^3,) bool occupied-cell mask from the voxel validity mask."""
+    if tables.slot_vox is not None:
+        # host-built tables: the C++ block_assign writes vox_slot = -1 for
+        # every voxel past the level's valid count (sparseplan.cpp
+        # block_assign tail loop), so slot_vox only references valid
+        # voxels and the mask is elementwise — no scatter (~0.5 ms/step
+        # at L0 e4 saved)
+        return tables.slot_vox >= 0
     n_dense = tables.num_blocks * tables.edge ** 3
     slot = jnp.where((tables.vox_slot < 0) | ~valid, n_dense, tables.vox_slot)
     return jnp.zeros((n_dense,), bool).at[slot].set(True, mode="drop")

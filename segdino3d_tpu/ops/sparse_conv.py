@@ -243,29 +243,34 @@ def _subm_conv_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
         # columns (full MXU lane utilization instead of N=Cout; 256 beat
         # 128 by ~0.8 ms on the v5e k5 stem — tools/stem_bench.py g8).
         g = max(1, 256 // cout)
-        n_groups = -(-n_off // g)
-        pad = n_groups * g - n_off
-        w_p = jnp.concatenate(
-            [weights, jnp.zeros((pad, cin, cout), weights.dtype)]) \
-            if pad else weights
-        nbr_p = jnp.concatenate(
-            [nbr, jnp.full((pad, v), -1, jnp.int32)]) if pad else nbr
-        # (n_groups, cin, g*cout): group weights concatenated along N
-        w_grp = w_p.reshape(n_groups, g, cin, cout).transpose(0, 2, 1, 3) \
-            .reshape(n_groups, cin, g * cout).astype(feats.dtype)
-        nbr_grp = nbr_p.reshape(n_groups, g, v)
+        n_full = n_off // g
+        rem = n_off - n_full * g  # peeled: padding offsets would cost
+        # full-width gathers (0.12 ms per 78k rows on v5e — 3 dead
+        # gathers for the 125->128 k5 pad)
+        # (n_full, cin, g*cout): group weights concatenated along N
+        w_grp = weights[:n_full * g].reshape(n_full, g, cin, cout) \
+            .transpose(0, 2, 1, 3).reshape(n_full, cin, g * cout) \
+            .astype(feats.dtype)
+        nbr_grp = nbr[:n_full * g].reshape(n_full, g, v)
         out0 = jnp.zeros((v, cout), feats.dtype)
+
+        def _apply_group(acc, w_g, nbr_g, width):
+            y = jnp.dot(feats, w_g,
+                        preferred_element_type=jnp.float32).astype(feats.dtype)
+            for j in range(width):
+                acc = acc + _gather_rows(
+                    y[:, j * cout:(j + 1) * cout], nbr_g[j])
+            return acc
 
         def body(acc, xs):
             w_g, nbr_g = xs
-            y = jnp.dot(feats, w_g,
-                        preferred_element_type=jnp.float32).astype(feats.dtype)
-            for j in range(g):
-                acc = acc + _gather_rows(
-                    y[:, j * cout:(j + 1) * cout], nbr_g[j])
-            return acc, None
+            return _apply_group(acc, w_g, nbr_g, g), None
 
         out, _ = jax.lax.scan(body, out0, (w_grp, nbr_grp))
+        if rem:
+            w_r = weights[n_full * g:].transpose(1, 0, 2) \
+                .reshape(cin, rem * cout).astype(feats.dtype)
+            out = _apply_group(out, w_r, nbr[n_full * g:], rem)
         return jnp.where(valid[:, None], out, 0.0)
 
     # gather-im2col-GEMM path (Cin ~ Cout): big-K MXU matmuls

@@ -50,6 +50,19 @@ class TestBlockDenseConv:
             occ = BD.occupancy(uplan.blocks[li], uplan.levels[li].valid)
             assert int(occ.sum()) == plan.levels[li].num_voxels
 
+    def test_occupancy_fast_path_matches_scatter(self):
+        """Host-built tables (slot_vox present) take the elementwise
+        occupancy path; it must equal the scatter derivation."""
+        plan, uplan = _plan()
+        for li in range(3):
+            t = uplan.blocks[li]
+            valid = uplan.levels[li].valid
+            assert t.slot_vox is not None
+            t_noinv = BD.BlockTables(t.vox_slot, t.block_nbr, t.edge, None)
+            np.testing.assert_array_equal(
+                np.asarray(BD.occupancy(t, valid)),
+                np.asarray(BD.occupancy(t_noinv, valid)))
+
     @pytest.mark.parametrize("k", [3, 5])
     @pytest.mark.parametrize("chunk_mb", [None, 0.05])
     @pytest.mark.parametrize("l0_edge", [8, 4])
