@@ -412,6 +412,64 @@ def main():
                       f"{batch_size / pipe_dt:.2f} scenes/s "
                       f"({pipe_dt * 1000:.0f}ms/batch incl. transfer)")
 
+    # ---- cached eval pipeline (data/eval_cache.py): the val set is
+    # static, so the production eval path builds each batch once and every
+    # later pass serves mmap views — host cost must beat the device step
+    # (~70 ms/scene) on ANY core count (round-4 VERDICT #1) ----
+    if os.environ.get("BENCH_EVAL_CACHE", "1") != "0":
+        from segdino3d_tpu.data.loader import EvalLoader
+
+        evc_dir = os.path.join(spool, "evc")
+        evc_plan = dict(voxel_size=0.02, voxel_cap=voxel_cap,
+                        level_cap_ratios=ratios, level_caps=level_caps,
+                        block_edges=block_edges, block_caps=block_caps,
+                        stem_ov_cap=stem_ov_cap, stem_gather=stem_gather)
+        n_ev = max(8, 2 * batch_size)
+
+        def make_eval_loader():
+            return EvalLoader(ds, spec, limit=n_ev, batch_size=batch_size,
+                              host_plan_cfg=evc_plan, cache_dir=evc_dir,
+                              prefetch=0)
+
+        ld0 = make_eval_loader()
+        was_cached = ld0._cache().complete()
+        t0 = time.time()
+        n_built = sum(1 for _ in ld0)                  # build/persist pass
+        build_s = time.time() - t0
+
+        def page_touch(tree):
+            # force the mmap pages in (1 byte per 4 KiB page): the honest
+            # host-side read cost a warm-cache epoch pays before transfer
+            s = 0
+            for a in jax.tree_util.tree_leaves(tree):
+                if isinstance(a, np.ndarray) and a.nbytes:
+                    v = a.reshape(-1).view(np.uint8)
+                    s += int(v[::4096].astype(np.int64).sum())
+            return s
+
+        t_host, t_put = [], []
+        it = iter(make_eval_loader())                  # serve-only pass
+        while True:
+            t0 = time.time()
+            try:
+                recs, b = next(it)
+            except StopIteration:
+                break
+            page_touch((recs, b))
+            t_host.append(time.time() - t0)
+            t0 = time.time()
+            db = jax.device_put(b)
+            jax.block_until_ready(jax.tree_util.tree_leaves(db))
+            t_put.append(time.time() - t0)
+        serve_ms = 1000 * float(np.median(t_host)) / batch_size
+        put_ms = 1000 * float(np.median(t_put)) / batch_size
+        pipe_line += (
+            f" cached_eval[{n_ev} scenes/{n_built} batches]: "
+            f"{'warm' if was_cached else 'build'}_pass={build_s:.1f}s "
+            f"serve_host={serve_ms:.1f}ms/scene "
+            f"(+device_put={put_ms:.0f}ms/scene via dev tunnel; PCIe-host "
+            f"transfer would be ~negligible)")
+
     # ---- training-loop throughput (BASELINE config #4: the engine hot
     # loop, reference engine/train_engine_3d.py:88-120): one fused step =
     # fwd/bwd/grad-clip/AdamW/PolyLR/EMA, host plans attached ----
@@ -476,6 +534,101 @@ def main():
         train_line = (f" train[b{tb}]={tr_dt * 1000:.0f}ms/iter "
                       f"({tb / tr_dt:.2f} scenes/s, compile={tcomp:.0f}s)")
 
+        # -- gradient accumulation ON THE CHIP (round-4 VERDICT #2): the
+        # reference's bs=4 single-GPU recipe (scripts/train.sh:6,20;
+        # SegDINO3D_ScanNet200.py:45,73) as accum_steps x 1-scene
+        # microbatches scanned inside one donated step — proves effective
+        # batch 4 fits one 16G chip and records its real iter time.
+        acc = int(os.environ.get("BENCH_TRAIN_ACCUM", "4"))
+        if acc > 1:
+            from segdino3d_tpu.data.collate import stack_batches
+            mb_vc = int(os.environ.get("BENCH_TRAIN_VOXELS_MB", "98304"))
+            mbs = []
+            for j in range(acc):
+                recs_j = [ds.get_record(500 + j)]
+                mb = collate(recs_j, spec, device=False)
+                mb = attach_host_plan(mb, recs_j, spec, voxel_size=0.02,
+                                      voxel_cap=mb_vc,
+                                      level_cap_ratios=ratios,
+                                      block_edges=tr_edges,
+                                      stem_gather=tr_stem_gather,
+                                      device=False)
+                mbs.append(mb)
+            acc_batch = stack_batches(mbs)
+            step_acc = make_train_step(model_t, criterion_t, tx,
+                                       ema_decay=0.9997, donate=True,
+                                       accum_steps=acc)
+            t0 = time.time()
+            state, m = step_acc(state, acc_batch, jrandom.PRNGKey(100))
+            jax.device_get(m["total_loss"])
+            acomp = time.time() - t0
+            state, m = step_acc(state, acc_batch, jrandom.PRNGKey(101))
+            jax.device_get(m["total_loss"])
+            t0 = time.time()
+            n_ac = 4
+            for i in range(n_ac):
+                state, m = step_acc(state, acc_batch,
+                                    jrandom.PRNGKey(102 + i))
+            jax.device_get(m["total_loss"])
+            ac_dt = (time.time() - t0) / n_ac
+            train_line += (
+                f" train[b{acc}={acc}x1 accum]={ac_dt * 1000:.0f}ms/iter "
+                f"({acc / ac_dt:.2f} scenes/s, {ac_dt / tr_dt:.2f}x b{tb}, "
+                f"compile={acomp:.0f}s)")
+
+    # ---- 2 cm / 400k-pt stress config (BASELINE config #5; round-4
+    # VERDICT #4: re-measure on the measured-caps ladder + auto L0 layout
+    # crossover).  One multi-room-scale synthetic scene through the exact
+    # production plan path; logs the caps and the L0 layout the
+    # crossover actually picked. ----
+    stress_line = ""
+    if os.environ.get("BENCH_STRESS", "1") != "0":
+        os.environ.setdefault("SEGDINO_CONV_CHUNK_MB", "384")
+        s_pts, s_sp = 400000, 4096
+        spool_s_dir = f"/tmp/segdino_spool_v1_{s_pts}_{s_sp}"
+        os.makedirs(spool_s_dir, exist_ok=True)
+        ds_s = _SynthDataset(s_pts, s_sp, spool_dir=spool_s_dir, n_records=1)
+        spec_s = PadSpec(-(-s_pts // 8192) * 8192, s_sp, 64, 128, 200)
+        nvs_s, blocks_s, _ = _probe_scene_caps(
+            (0, s_pts, s_sp, ratios, block_edges))
+        level_caps_s = [int(v * 1.02) for v in nvs_s]
+        rec_s = [ds_s.get_record(0)]
+        b_s = collate(rec_s, spec_s)
+        b_s = attach_host_plan(b_s, rec_s, spec_s, voxel_size=0.02,
+                               level_caps=level_caps_s,
+                               block_edges=block_edges,
+                               stem_gather=stem_gather)
+        blk = b_s.unet_plan.blocks
+        l0 = ("gather" if (blk is None or blk[0] is None)
+              else f"dense(e{blk[0].edge})")
+
+        def infer1(variables, batch):
+            outputs, _ = model.apply(variables, batch, False)
+            r = predict_instance(
+                outputs["cls_preds"][0], outputs["masks"][0],
+                outputs["query_valid"][0], outputs["sp_valid"][0],
+                batch.superpoint_ids[0], batch.point_valid[0],
+                batch.points[0, :, :3], 0.0, test_cfg,
+                centers=outputs["centers"][0], sizes=outputs["sizes"][0],
+                filter_outofbox=True)
+            return r.scores.sum()
+
+        fn_s = jax.jit(infer1)
+        t0 = time.time()
+        jax.device_get(fn_s(variables, b_s))
+        s_comp = time.time() - t0
+        jax.device_get(fn_s(variables, b_s))   # warm
+        t0 = time.time()
+        n_s = 5
+        for _ in range(n_s):
+            r = fn_s(variables, b_s)
+        jax.device_get(r)
+        s_dt = (time.time() - t0) / n_s
+        stress_line = (
+            f" stress[400k/2cm sp{s_sp}]={s_dt * 1000:.1f}ms/step "
+            f"({1 / s_dt:.2f} scenes/s) l0={l0} "
+            f"caps={[int(v) for v in level_caps_s]} compile={s_comp:.0f}s")
+
     from segdino3d_tpu.utils.profiling import device_memory_summary
     mem_line = " hbm: " + device_memory_summary().replace("\n", " | ")
 
@@ -488,7 +641,7 @@ def main():
     }))
     print(f"# batch={batch_size} points={n_scene_points} sp={s_cap} "
           f"step={dt*1000:.1f}ms compile={compile_time:.1f}s{train_line}"
-          f"{pipe_line}{mem_line}",
+          f"{stress_line}{pipe_line}{mem_line}",
           file=sys.stderr)
 
 

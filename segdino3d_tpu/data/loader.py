@@ -370,7 +370,9 @@ class EvalLoader:
                  limit: Optional[int] = None, batch_size: int = 1,
                  bucket_policy=None, host_plan_cfg: Optional[Dict] = None,
                  mesh_shards: int = 1, prefetch: int = 1,
-                 prescan_caps: bool = True):
+                 prescan_caps: bool = True,
+                 cache_dir: Optional[str] = None,
+                 process_index: int = 0, process_count: int = 1):
         """``mesh_shards`` > 1 emits per-device *stacked* batches (leading
         axis = shards) for the mesh-sharded predict
         (``evaluation.evaluate(mesh=...)``); a partial tail batch is padded
@@ -382,6 +384,27 @@ class EvalLoader:
         work with the consumer's device step (the driver otherwise pays
         the full host build between every predict); 0 restores fully
         synchronous iteration.
+
+        ``process_index``/``process_count``: multi-host (DCN) eval — the
+        global batch sequence is sharded round-robin at BATCH granularity
+        (process p serves global batches p, p+count, ...), so batch
+        composition is identical to a single-process run and the gathered
+        results merge to the same metrics
+        (``evaluation.evaluate(gather_dir=...)``; the reference instead
+        refuses multi-card eval, ``evaluate_3d.py:45``, and its object
+        all_gather lives at ``segdino3d/utils/dist_utils.py:83-194``).
+        The capacity prescan still covers the FULL set, so every process
+        pins identical per-rung plan capacities.
+
+        ``cache_dir``: persistent batch cache (``data/eval_cache.py``) —
+        the val set is static and the whole host pipeline (record IO,
+        val transform, collate, C++ plan) is deterministic, so the first
+        pass persists each finished numpy-leaf batch and every later
+        epoch / process start serves mmap views + device transfer only.
+        The namespace key covers the dataset fingerprint, pad/bucket
+        config and plan config; a mismatch rebuilds.  Cached iterations
+        yield slim records (GT annotation arrays + ``n_points``) — what
+        ``evaluation.evaluate`` consumes — not full scene records.
 
         ``prescan_caps``: one cheap count-only pass over the eval set
         before the first batch (cached for the loader's lifetime) pins
@@ -402,14 +425,20 @@ class EvalLoader:
         self.mesh_shards = mesh_shards
         self.prefetch = prefetch
         self.prescan_caps = prescan_caps
+        self.cache_dir = cache_dir
+        self.process_index = process_index
+        self.process_count = process_count
         self._rung_caps: Optional[Dict] = None
+        self._cache_obj = None
+        assert 0 <= process_index < process_count
         if mesh_shards > 1:
             assert batch_size % mesh_shards == 0, (batch_size, mesh_shards)
 
     def __len__(self):
-        n = len(self.dataset)
-        n = min(n, self.limit) if self.limit else n
-        return -(-n // self.batch_size)
+        """Number of LOCAL batches (this process's round-robin shard)."""
+        gb = -(-self.num_scenes // self.batch_size)
+        return (gb - self.process_index
+                + self.process_count - 1) // self.process_count
 
     @property
     def num_scenes(self):
@@ -496,11 +525,29 @@ class EvalLoader:
         self._rung_caps = out
         return out
 
-    def _build_one(self, recs, spec):
+    def _cache(self):
+        if self.cache_dir is None:
+            return None
+        if self._cache_obj is None:
+            from segdino3d_tpu.data import eval_cache as ec
+            cfg = dict(
+                ds=ec.dataset_fingerprint(self.dataset),
+                limit=self.limit, batch_size=self.batch_size,
+                mesh_shards=self.mesh_shards,
+                spec=repr(self.pad_spec), bucket=repr(self.bucket_policy),
+                plan=ec.stable_repr(self.host_plan_cfg),
+                prescan=self.prescan_caps,
+                proc=(self.process_index, self.process_count))
+            self._cache_obj = ec.EvalBatchCache(
+                self.cache_dir, ec.config_key(**cfg),
+                config_note=ec.stable_repr(cfg))
+        return self._cache_obj
+
+    def _build_one(self, recs, spec, device: Optional[bool] = None):
         # numpy leaves when sharding: stack_batches restacks host-side and
         # evaluate() device_puts straight to the sharded layout — a jnp
         # round-trip through device 0 would double the transfer
-        dev = self.mesh_shards <= 1
+        dev = (self.mesh_shards <= 1) if device is None else device
         batch = collate(recs, spec, device=dev)
         if self.host_plan_cfg:
             from segdino3d_tpu.data.collate import attach_host_plan
@@ -552,9 +599,23 @@ class EvalLoader:
             stop.set()
 
     def _iter_sync(self):
+        cache = self._cache()
+        if cache is None:
+            yield from self._iter_build()
+        elif cache.complete():
+            yield from cache.iter_batches()
+        else:
+            # first pass: build numpy-leaf batches (cacheable as-is; jit
+            # transfers them at dispatch exactly like device leaves) and
+            # persist each while yielding it
+            yield from cache.write_through(self._iter_build(device=False))
+
+    def _iter_build(self, device: Optional[bool] = None):
         rng = np.random.RandomState(0)
         n = self.num_scenes
-        for lo in range(0, n, self.batch_size):
+        for gi, lo in enumerate(range(0, n, self.batch_size)):
+            if gi % self.process_count != self.process_index:
+                continue
             recs = [self.dataset.get_record(i, rng)
                     for i in range(lo, min(lo + self.batch_size, n))]
             n_real = len(recs)
@@ -564,11 +625,12 @@ class EvalLoader:
             spec = (self.bucket_policy.spec_for(padded)
                     if self.bucket_policy is not None else self.pad_spec)
             if self.mesh_shards <= 1:
-                yield recs, self._build_one(recs, spec)
+                yield recs, self._build_one(recs, spec, device=device)
                 continue
             from segdino3d_tpu.data.collate import stack_batches
             per = self.batch_size // self.mesh_shards
             batch = stack_batches(
-                [self._build_one(padded[i * per:(i + 1) * per], spec)
+                [self._build_one(padded[i * per:(i + 1) * per], spec,
+                                 device=device)
                  for i in range(self.mesh_shards)])
             yield recs, batch

@@ -115,6 +115,27 @@ class _ScanNetBase:
     def __len__(self):
         return len(self.scene_ids)
 
+    def cache_fingerprint(self) -> str:
+        """Identity for the eval batch cache (``data/eval_cache.py``):
+        scene id list + (size, mtime) of each scene's points file, plus
+        every reader knob that shapes the emitted records — so edited
+        data or a changed reader config rotates the cache namespace."""
+        import hashlib
+        stats = []
+        for sid in self.scene_ids:
+            p = os.path.join(self.root_scenes, "points", f"{sid}.bin")
+            try:
+                st = os.stat(p)
+                stats.append((sid, st.st_size, st.st_mtime_ns))
+            except OSError:
+                stats.append((sid, -1, -1))
+        knobs = (type(self).__name__, self.scene_set, self.use_super_points,
+                 self.adjust_class_ids, self.exclude_stuffs,
+                 str(self.feats_2d_dtype), self.root_points_2dfeats,
+                 self.mode_fuse, self.n_stuff, self.dataset_type,
+                 self.skip_empty_scenes, self.num_semantic_classes)
+        return hashlib.sha1(repr((knobs, stats)).encode()).hexdigest()[:16]
+
     def _load_2d(self, scene_id: str, rng: np.random.RandomState):
         import torch  # cpu torch only for .pth deserialization
         root = self.root_points_2dfeats

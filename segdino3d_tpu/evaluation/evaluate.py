@@ -107,11 +107,20 @@ def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
 def evaluate(model, variables, eval_loader, evaluator: InstanceSeg3DEvaluator,
              test_cfg: Dict, filter_outofbox: bool = True,
              bg_class_id: int = 200, logger=None, progress: bool = True,
-             mesh=None):
+             mesh=None, gather_dir: Optional[str] = None,
+             process_index: int = 0, process_count: int = 1):
     """Run full evaluation; returns the metric dict.
 
     ``mesh``: run the predict mesh-sharded over the ``data`` axis — the
-    loader must emit stacked batches (``EvalLoader(mesh_shards=N)``)."""
+    loader must emit stacked batches (``EvalLoader(mesh_shards=N)``).
+
+    ``process_count`` > 1: multi-host (DCN) eval — this process runs its
+    ``EvalLoader(process_index=..., process_count=...)`` batch shard, then
+    results gather through ``gather_dir`` (a path every process can read,
+    e.g. the work_dir on shared storage) and EVERY process returns the
+    identical full-set metrics — the reference's pickled-object all_gather
+    semantics (``/root/reference/segdino3d/utils/dist_utils.py:83-194``)
+    without a gloo side-channel."""
     predict = make_predict_fn(model, test_cfg, filter_outofbox, mesh=mesh)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -130,7 +139,10 @@ def evaluate(model, variables, eval_loader, evaluator: InstanceSeg3DEvaluator,
         inst, sem, pan_sem, pan_map = predict(variables, batch)
         for bi, record in enumerate(records):
             valid = np.asarray(inst.valid[bi])
-            n_pts = record["points"].shape[0]
+            # cached-loader records are slim (eval_cache.record_aux):
+            # GT annotation arrays + the raw point count, no point data
+            n_pts = (record["points"].shape[0] if "points" in record
+                     else int(record["n_points"]))
             pred = dict(
                 pts_instance_masks=unpack_bits_np(
                     np.asarray(inst.point_masks[bi])[valid], n_pts),
@@ -144,4 +156,10 @@ def evaluate(model, variables, eval_loader, evaluator: InstanceSeg3DEvaluator,
             evaluator.process(ann, pred)
         if progress and (i % 25 == 0 or i == n - 1):
             log(f"eval batch [{i + 1}/{n}]")
+    if process_count > 1:
+        if gather_dir is None:
+            raise ValueError("multi-process eval needs gather_dir "
+                             "(shared-filesystem path)")
+        evaluator.save_shard(gather_dir, process_index)
+        evaluator.load_shards(gather_dir, process_count)
     return evaluator.evaluate()

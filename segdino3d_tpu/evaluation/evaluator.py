@@ -38,16 +38,17 @@ class InstanceSeg3DEvaluator:
                  valid_class_ids: Sequence[int],
                  class_names: Sequence[str],
                  stuff_class_inds: Sequence[int] = (0, 1),
-                 min_num_points: int = 1,
-                 id_offset: int = 2 ** 16,
                  submission_prefix_instance: Optional[str] = None,
                  submission_prefix_semantic: Optional[str] = None,
                  **_unused):
+        # NOTE: the reference configs also pass min_num_points / id_offset;
+        # those feed only its commented-out panoptic_seg_eval
+        # (reference evaluator_3d.py:185-195) — dead there, so accepted
+        # here via **_unused and deliberately not stored.  The AP protocol
+        # hardcodes MIN_REGION_SIZE=100 exactly like the reference.
         self.valid_class_ids = list(valid_class_ids)
         self.class_names = list(class_names)
         self.num_stuff = len(stuff_class_inds)
-        self.min_num_points = min_num_points
-        self.id_offset = id_offset
         self.submission_prefix_instance = submission_prefix_instance
         self.submission_prefix_semantic = submission_prefix_semantic
         self.reset()
@@ -59,6 +60,46 @@ class InstanceSeg3DEvaluator:
         """pred: dict with pts_instance_masks (N, P) bool, labels (N,),
         scores (N,), and optional semantic/panoptic point maps."""
         self._results.append((eval_ann, pred))
+
+    # --- multi-host result gather (reference: pickled-object all_gather
+    # over gloo, segdino3d/utils/dist_utils.py:83-194; ours rides a
+    # shared filesystem — the one channel every multi-host JAX job has,
+    # and the evaluator's numpy accumulation lives host-side anyway) ---
+    def save_shard(self, gather_dir: str, process_index: int) -> str:
+        """Persist this process's accumulated results (atomic)."""
+        import pickle
+
+        os.makedirs(gather_dir, exist_ok=True)
+        path = os.path.join(gather_dir, f"shard_{process_index:04d}.pkl")
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(self._results, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+        return path
+
+    def load_shards(self, gather_dir: str, process_count: int,
+                    timeout_s: float = 600.0) -> None:
+        """Replace the local accumulation with ALL processes' shards,
+        merged in rank order (deterministic metric input ordering).  Every
+        process may call this — each then computes identical metrics, the
+        semantics of the reference's all_gather."""
+        import pickle
+        import time
+
+        paths = [os.path.join(gather_dir, f"shard_{p:04d}.pkl")
+                 for p in range(process_count)]
+        deadline = time.monotonic() + timeout_s
+        while any(not os.path.exists(p) for p in paths):
+            if time.monotonic() > deadline:
+                missing = [p for p in paths if not os.path.exists(p)]
+                raise TimeoutError(f"eval gather: missing shards {missing}")
+            time.sleep(0.2)
+        merged: List = []
+        for p in paths:
+            # writers are atomic (tmp+rename), so an existing file is whole
+            with open(p, "rb") as f:
+                merged.extend(pickle.load(f))
+        self._results = merged
 
     def evaluate_per_scene(self, out_json: Optional[str] = None) -> Dict:
         """Per-scene metric dump (reference ``compute_each_sample_metrics``

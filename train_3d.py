@@ -39,6 +39,18 @@ def get_args():
     p.add_argument("--profile_steps", default=None,
                    help="START:STOP — capture a jax.profiler trace of these "
                         "train steps into work_dir/profile")
+    p.add_argument("--eval_cache_dir", default="auto",
+                   help="persistent eval batch cache (data/eval_cache.py): "
+                        "the static val set's host work (IO/collate/C++ "
+                        "plan) builds once and later eval passes serve "
+                        "mmap views only.  'auto' = <work_dir>/eval_cache; "
+                        "'none' disables")
+    p.add_argument("--compile_cache_dir", default="auto",
+                   help="persistent XLA compile cache "
+                        "(jax_compilation_cache_dir): second process "
+                        "start pays seconds, not minutes, of compile. "
+                        "'auto' = <work_dir>/../.jax_cache (shared across "
+                        "runs); 'none' disables")
     p.add_argument("--accum_steps", type=int, default=None,
                    help="gradient-accumulation microbatches per step "
                         "(default: cfg accum_steps or 1) — runs the "
@@ -99,6 +111,17 @@ def main():
                                              setup_logger)
     import segdino3d_tpu.data.scannet_dataset  # noqa: F401 (registry)
     import segdino3d_tpu.data.transforms  # noqa: F401
+
+    # persistent XLA compile cache: the production CLI's first-compile is
+    # minutes (BENCH_r04: 110 s infer / 307 s train); warm starts are
+    # seconds.  The reference has no compile problem to solve (eager
+    # torch, evaluate_3d.py:44) — this is pure TPU-native debt.
+    if args.compile_cache_dir != "none":
+        cc = (os.path.normpath(os.path.join(args.work_dir, "..",
+                                            ".jax_cache"))
+              if args.compile_cache_dir == "auto" else args.compile_cache_dir)
+        jax.config.update("jax_compilation_cache_dir", cc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     init_distributed()
     os.makedirs(args.work_dir, exist_ok=True)
@@ -191,8 +214,15 @@ def main():
     # multi-chip eval: shard scenes over the data axis, per-device batch
     # eval_bsz/n_dev (default 1 — the measured optimum; STATUS.md).  The
     # reference is locked to single-card eval (evaluate_3d.py:45).
-    n_dev_eval = len(jax.devices())
-    eval_mesh = make_mesh(n_dev_eval) if n_dev_eval > 1 else None
+    # Multi-HOST eval composes two mechanisms: each process runs its
+    # round-robin batch shard on a LOCAL-device mesh (embarrassingly
+    # parallel — no cross-host device_put), then results merge through a
+    # shared-filesystem gather (evaluate(gather_dir=...)).
+    n_proc = jax.process_count()
+    eval_devs = jax.local_devices()
+    n_dev_eval = len(eval_devs)
+    eval_mesh = (make_mesh(n_dev_eval, devices=eval_devs)
+                 if n_dev_eval > 1 else None)
     eval_bsz = args.eval_batch_size or cfg.data.get("eval_batch_size")
     if eval_bsz is None:
         eval_bsz = n_dev_eval if eval_mesh is not None else 1
@@ -200,13 +230,19 @@ def main():
         eval_bsz = -(-eval_bsz // n_dev_eval) * n_dev_eval
         logger.info(f"eval_batch_size rounded up to {eval_bsz} "
                     f"(multiple of {n_dev_eval} devices)")
+    eval_cache = (os.path.join(args.work_dir, "eval_cache")
+                  if args.eval_cache_dir == "auto" else
+                  (None if args.eval_cache_dir == "none"
+                   else args.eval_cache_dir))
     eval_loader = EvalLoader(
         eval_ds, spec, limit=args.num_eval_scenes, batch_size=eval_bsz,
         bucket_policy=BucketPolicy.default(
             n_sem, caps.num_points, caps.num_superpoints,
             caps.num_instances, caps.num_queries2d),
         host_plan_cfg=eval_plan_cfg,
-        mesh_shards=n_dev_eval if eval_mesh is not None else 1)
+        mesh_shards=n_dev_eval if eval_mesh is not None else 1,
+        cache_dir=eval_cache,
+        process_index=jax.process_index(), process_count=n_proc)
 
     def run_eval(st):
         from segdino3d_tpu.train.ema import swap_in_ema
@@ -216,7 +252,15 @@ def main():
                        filter_outofbox=cfg.model.get(
                            "filter_outofbox_points_eval", True),
                        bg_class_id=eval_ds.bg_class_id, logger=logger,
-                       mesh=eval_mesh)
+                       mesh=eval_mesh,
+                       # per-step gather dir: stale shards from an earlier
+                       # in-training eval round must never satisfy the wait
+                       gather_dir=(os.path.join(
+                           args.work_dir, "eval_gather",
+                           f"step_{int(st.step):010d}")
+                           if n_proc > 1 else None),
+                       process_index=jax.process_index(),
+                       process_count=n_proc)
         if res:
             logger.info(
                 f"mAP: {res['all_ap']:.4f}  mAP50: {res['all_ap_50']:.4f}  "
