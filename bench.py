@@ -130,6 +130,26 @@ def _probe_scene_caps(args):
     return nvs, [int(b) for b in blocks], stem_ov
 
 
+def _run_section(name, fn):
+    """Run one optional bench section; a failure degrades to a note in the
+    diag line (full traceback on stderr) instead of killing the run — a
+    35-minute measurement must never be lost to its last section.  Each
+    section's fragment also prints immediately, so a later crash or kill
+    still leaves every finished number in the log."""
+    import traceback
+    t0 = time.time()
+    try:
+        out = fn() or ""
+        print(f"# bench section {name} [{time.time() - t0:.0f}s]:{out}",
+              file=sys.stderr, flush=True)
+        return out
+    except Exception as e:
+        traceback.print_exc()
+        print(f"# bench section {name} FAILED after {time.time() - t0:.0f}s: "
+              f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+        return f" {name}=FAILED({type(e).__name__})"
+
+
 def main():
     # Bounded backend init: a wedged axon tunnel (stale device grant)
     # otherwise hangs jax.devices() for HOURS with no output.  Probe the
@@ -330,6 +350,9 @@ def main():
     # of HBM copies.  The dispatch loop above IS the honest number.
     dt = dt_dispatch
     scenes_per_sec = batch_size / dt
+    print(f"# bench headline: step={dt * 1000:.1f}ms "
+          f"({scenes_per_sec:.2f} scenes/s/chip, compile={compile_time:.1f}s)",
+          file=sys.stderr, flush=True)
 
     # honest end-to-end pipeline variant: steady-state throughput
     # *including* collate + host C++ plan building + host->device transfer,
@@ -338,7 +361,8 @@ def main():
     # development tunnel the transfer adds real latency that a co-located
     # host would not pay.
     pipe_line = ""
-    if os.environ.get("BENCH_PIPELINE", "1") != "0":
+
+    def _sec_pipeline():
         # -- stage decomposition (sync): what a production host pays per
         # batch, independent of this box's dev-tunnel transfer bandwidth.
         # "load" reads a spooled record (file decode, warm page cache) —
@@ -411,12 +435,16 @@ def main():
         pipe_line += (f" pipeline(process x{workers})="
                       f"{batch_size / pipe_dt:.2f} scenes/s "
                       f"({pipe_dt * 1000:.0f}ms/batch incl. transfer)")
+        return pipe_line
+
+    if os.environ.get("BENCH_PIPELINE", "1") != "0":
+        pipe_line = _run_section("pipeline", _sec_pipeline)
 
     # ---- cached eval pipeline (data/eval_cache.py): the val set is
     # static, so the production eval path builds each batch once and every
     # later pass serves mmap views — host cost must beat the device step
     # (~70 ms/scene) on ANY core count (round-4 VERDICT #1) ----
-    if os.environ.get("BENCH_EVAL_CACHE", "1") != "0":
+    def _sec_eval_cache():
         from segdino3d_tpu.data.loader import EvalLoader
 
         evc_dir = os.path.join(spool, "evc")
@@ -447,34 +475,63 @@ def main():
                     s += int(v[::4096].astype(np.int64).sum())
             return s
 
-        t_host, t_put = [], []
-        it = iter(make_eval_loader())                  # serve-only pass
-        while True:
-            t0 = time.time()
+        def serve_pass(put=True):
+            # put=False: back-to-back host serves, the worst case with NO
+            # consumer time for iter_batches' next-file readahead to hide
+            # behind (the tunnel's ~13 s/batch device_put would otherwise
+            # mask any cold-read cost entirely)
+            t_host, t_put = [], []
+            it = iter(make_eval_loader())
+            while True:
+                t0 = time.time()
+                try:
+                    recs, b = next(it)
+                except StopIteration:
+                    break
+                page_touch((recs, b))
+                t_host.append(time.time() - t0)
+                if put:
+                    t0 = time.time()
+                    db = jax.device_put(b)
+                    jax.block_until_ready(jax.tree_util.tree_leaves(db))
+                    t_put.append(time.time() - t0)
+            return (1000 * float(np.median(t_host)) / batch_size,
+                    1000 * float(np.median(t_put)) / batch_size
+                    if t_put else 0.0)
+
+        # cold pass: drop the OS page cache first (root-only; skipped
+        # silently otherwise) so the number is disk-bandwidth-honest —
+        # serve cost is ~zero CPU, so "cold" means streaming ~120 MB/scene
+        # from disk (overlapped batch-ahead by iter_batches' readahead),
+        # "warm" is the steady-state epoch where the val set sits in the
+        # page cache
+        cold_note = ""
+        if os.environ.get("BENCH_DROP_CACHES", "1") != "0":
             try:
-                recs, b = next(it)
-            except StopIteration:
-                break
-            page_touch((recs, b))
-            t_host.append(time.time() - t0)
-            t0 = time.time()
-            db = jax.device_put(b)
-            jax.block_until_ready(jax.tree_util.tree_leaves(db))
-            t_put.append(time.time() - t0)
-        serve_ms = 1000 * float(np.median(t_host)) / batch_size
-        put_ms = 1000 * float(np.median(t_put)) / batch_size
-        pipe_line += (
+                os.sync()
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("1")
+                cold_ms, _ = serve_pass(put=False)
+                cold_note = f"serve_host_cold={cold_ms:.1f}ms/scene "
+            except OSError:
+                pass
+        serve_ms, put_ms = serve_pass()                # warm pass
+        return (
             f" cached_eval[{n_ev} scenes/{n_built} batches]: "
             f"{'warm' if was_cached else 'build'}_pass={build_s:.1f}s "
-            f"serve_host={serve_ms:.1f}ms/scene "
+            f"{cold_note}serve_host_warm={serve_ms:.1f}ms/scene "
             f"(+device_put={put_ms:.0f}ms/scene via dev tunnel; PCIe-host "
             f"transfer would be ~negligible)")
+
+    if os.environ.get("BENCH_EVAL_CACHE", "1") != "0":
+        pipe_line += _run_section("cached_eval", _sec_eval_cache)
 
     # ---- training-loop throughput (BASELINE config #4: the engine hot
     # loop, reference engine/train_engine_3d.py:88-120): one fused step =
     # fwd/bwd/grad-clip/AdamW/PolyLR/EMA, host plans attached ----
     train_line = ""
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
+
+    def _sec_train():
         from segdino3d_tpu.parallel.train_step import (create_train_state,
                                                        make_train_step)
         from segdino3d_tpu.train.optim import build_optimizer
@@ -513,9 +570,16 @@ def main():
         tx, _sched = build_optimizer(
             dict(lr=1e-4, weight_decay=0.05),
             dict(total_iters=1000, power=0.9), clip_max_norm=10.0)
+        # deep-copy the headline variables into the state: the train step
+        # DONATES its state buffers, so aliasing `variables` here would
+        # invalidate them for every section after this one (the stress
+        # section's first run died on exactly that — TPU InvalidArgument
+        # on a donated-buffer read)
         state = create_train_state(
-            {"params": variables["params"],
-             "batch_stats": variables["batch_stats"]}, tx, use_ema=True)
+            jax.tree_util.tree_map(
+                jnp.copy, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]}),
+            tx, use_ema=True)
         train_step = make_train_step(model_t, criterion_t, tx,
                                      ema_decay=0.9997, donate=True)
         import jax.random as jrandom
@@ -554,7 +618,12 @@ def main():
                                       stem_gather=tr_stem_gather,
                                       device=False)
                 mbs.append(mb)
-            acc_batch = stack_batches(mbs)
+            # stage the stacked batch on device ONCE: stack_batches works
+            # on numpy leaves, and re-transferring 4x120MB through the
+            # dev tunnel every iter would measure the tunnel (27.5 s/iter
+            # observed), not the chip — production loaders device_put per
+            # batch on PCIe where this is ~negligible
+            acc_batch = jax.device_put(stack_batches(mbs))
             step_acc = make_train_step(model_t, criterion_t, tx,
                                        ema_decay=0.9997, donate=True,
                                        accum_steps=acc)
@@ -575,6 +644,10 @@ def main():
                 f" train[b{acc}={acc}x1 accum]={ac_dt * 1000:.0f}ms/iter "
                 f"({acc / ac_dt:.2f} scenes/s, {ac_dt / tr_dt:.2f}x b{tb}, "
                 f"compile={acomp:.0f}s)")
+        return train_line
+
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        train_line = _run_section("train", _sec_train)
 
     # ---- 2 cm / 400k-pt stress config (BASELINE config #5; round-4
     # VERDICT #4: re-measure on the measured-caps ladder + auto L0 layout
@@ -582,7 +655,8 @@ def main():
     # production plan path; logs the caps and the L0 layout the
     # crossover actually picked. ----
     stress_line = ""
-    if os.environ.get("BENCH_STRESS", "1") != "0":
+
+    def _sec_stress():
         os.environ.setdefault("SEGDINO_CONV_CHUNK_MB", "384")
         s_pts, s_sp = 400000, 4096
         spool_s_dir = f"/tmp/segdino_spool_v1_{s_pts}_{s_sp}"
@@ -624,10 +698,13 @@ def main():
             r = fn_s(variables, b_s)
         jax.device_get(r)
         s_dt = (time.time() - t0) / n_s
-        stress_line = (
+        return (
             f" stress[400k/2cm sp{s_sp}]={s_dt * 1000:.1f}ms/step "
             f"({1 / s_dt:.2f} scenes/s) l0={l0} "
             f"caps={[int(v) for v in level_caps_s]} compile={s_comp:.0f}s")
+
+    if os.environ.get("BENCH_STRESS", "1") != "0":
+        stress_line = _run_section("stress", _sec_stress)
 
     from segdino3d_tpu.utils.profiling import device_memory_summary
     mem_line = " hbm: " + device_memory_summary().replace("\n", " | ")
