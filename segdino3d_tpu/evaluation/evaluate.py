@@ -33,8 +33,9 @@ def make_predict_fn(model, test_cfg: Dict, filter_outofbox: bool = True,
     mesh devices (``EvalLoader(mesh_shards=N)``) — each device squeezes its
     shard and post-processes its local scenes; outputs concatenate back to
     flat batch order.  Per-device batching doesn't pay on this workload
-    (STATUS.md: batch 1 -> 9.2, batch 8 -> 4.5 scenes/s/chip), so the mesh
-    is the throughput axis: per-device batch 1, N scenes/step on N chips —
+    (STATUS.md round-5 ladder on the hybrid layout: b1 70.6 < b4 75.3 <
+    b2 78.0 ms/scene; the round-2 layout showed the same ordering), so the
+    mesh is the throughput axis: per-device batch 1, N scenes/step on N chips —
     the capability the reference lacks (single-card eval,
     ``evaluate_3d.py:45``)."""
 
